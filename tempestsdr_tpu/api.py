@@ -1,0 +1,187 @@
+"""Public API — mirrors the reference C API surface
+(TempestSDR/src/include/TSDRLibrary.h:62-76, 16 functions + 3 callbacks) as
+one class. Everything DSP-related delegates to the jitted streaming session;
+geometry changes rebuild the (cached) compiled step, which is the TPU
+equivalent of the reference's buffer re-allocation on resolution change
+(dsp.c:152-173).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from .config import PipelineConfig
+from .errors import TSDRError, TSDRStatus
+from .events import PlotEvent, ValueEvent
+from .params import DIRECTION, PARAM, Params
+from .sources.base import Source, load_source
+from .stream.session import Session, SessionCallbacks
+
+
+class TSDR:
+    """Reference-API parity (tsdr_* functions -> methods):
+
+    tsdr_init              -> TSDR(...)
+    tsdr_loadplugin        -> load_source(name, params)
+    tsdr_unloadplugin      -> unload_source()
+    tsdr_setresolution     -> set_resolution(height, refreshrate)
+    tsdr_setbasefreq       -> set_base_freq(freq)
+    tsdr_setgain           -> set_gain(gain)
+    tsdr_readasync         -> start(...) / run()   (+ start_async)
+    tsdr_stop              -> stop()
+    tsdr_isrunning         -> is_running
+    tsdr_sync              -> sync(pixels, direction)
+    tsdr_motionblur        -> set_motionblur(coeff)
+    tsdr_setparameter_int  -> set_param(param, value)
+    tsdr_getlasterrortext  -> last_error
+    tsdr_free              -> close()
+    """
+
+    def __init__(
+        self,
+        on_value: Optional[Callable[[ValueEvent], None]] = None,
+        on_plot: Optional[Callable[[PlotEvent], None]] = None,
+        block_samples: int = 1 << 16,
+    ):
+        self._callbacks = SessionCallbacks(on_value=on_value, on_plot=on_plot)
+        self._params = Params()
+        self._source: Optional[Source] = None
+        self._session: Optional[Session] = None
+        self._height = 600
+        self._refreshrate = 60.0
+        self._block_samples = block_samples
+        self._last_error = ""
+
+    # ---- source management ----
+
+    def load_source(self, name: str, params: str = "") -> None:
+        if self.is_running:
+            raise TSDRError(TSDRStatus.ALREADY_RUNNING, "stop before loading a source")
+        try:
+            self._source = load_source(name, params)
+        except TSDRError as e:
+            self._last_error = str(e)
+            raise
+
+    def unload_source(self) -> None:
+        if self.is_running:
+            raise TSDRError(TSDRStatus.ALREADY_RUNNING, "stop before unloading")
+        if self._source is not None:
+            self._source.cleanup()
+            self._source = None
+
+    # ---- parameters ----
+
+    def set_resolution(self, height: int, refreshrate: float) -> None:
+        if height <= 0 or refreshrate <= 0:
+            raise TSDRError(TSDRStatus.WRONG_VIDEOPARAMS, "invalid height/refreshrate")
+        self._height = int(height)
+        self._refreshrate = float(refreshrate)
+        if self._session is not None:
+            # geometry change: rebuild like set_internal_samplerate; carried
+            # DSP state resets (the reference purges its rings likewise,
+            # TSDRLibrary.c:379-383)
+            self._rebuild_session()
+
+    def set_base_freq(self, freq: float) -> None:
+        if self._session is not None:
+            self._session.set_basefreq(freq)
+        elif self._source is not None:
+            self._source.set_basefreq(freq)
+
+    def set_gain(self, gain: float) -> None:
+        if self._source is not None:
+            self._source.set_gain(gain)
+
+    def set_motionblur(self, coeff: float) -> None:
+        if self._session is None:
+            raise TSDRError(TSDRStatus.NOT_RUNNING, "no active session")
+        self._session.set_motionblur(coeff)
+
+    def sync(self, pixels: int, direction: int = DIRECTION.CUSTOM) -> None:
+        if self._session is None:
+            raise TSDRError(TSDRStatus.NOT_RUNNING, "no active session")
+        self._session.sync_shift(pixels, direction)
+
+    def set_param(self, param: int, value: int) -> None:
+        """tsdr_setparameter_int: one-shot params act immediately; flag
+        params rebuild the compiled step (cached -> cheap after first)."""
+        p = PARAM(param)
+        if p == PARAM.AUTOCORR_PLOTS_RESET:
+            if self._session is not None:
+                self._session.reset_autocorr()
+            return
+        if p == PARAM.AUTOCORR_DUMP:
+            return  # dumps handled via Session-level plot capture
+        new = self._params.with_int_param(p, value)
+        if new != self._params:
+            self._params = new
+            if self._session is not None:
+                self._rebuild_session(keep_state=True)
+
+    # ---- streaming ----
+
+    def _make_config(self) -> PipelineConfig:
+        if self._source is None:
+            raise TSDRError(TSDRStatus.ERR_PLUGIN, "no source loaded")
+        return PipelineConfig(
+            samplerate=self._source.samplerate(),
+            height=self._height,
+            refreshrate=self._refreshrate,
+            block_samples=self._block_samples,
+        )
+
+    def _rebuild_session(self, keep_state: bool = False) -> None:
+        old = self._session
+        self._session = Session(self._make_config(), self._params, self._source, self._callbacks)
+        if keep_state and old is not None and jax_state_compatible(old.state, self._session.state):
+            self._session.state = old.state
+
+    def start(
+        self,
+        on_frame: Callable[[np.ndarray], None],
+        max_blocks: Optional[int] = None,
+        max_frames: Optional[int] = None,
+        background: bool = False,
+    ):
+        """tsdr_readasync: stream until stopped (or limits hit)."""
+        if self.is_running:
+            raise TSDRError(TSDRStatus.ALREADY_RUNNING, "already streaming")
+        self._callbacks.on_frame = on_frame
+        self._rebuild_session()
+        if background:
+            self._session.start_async(max_blocks=max_blocks, max_frames=max_frames)
+            return None
+        return self._session.run(max_blocks=max_blocks, max_frames=max_frames)
+
+    def stop(self) -> None:
+        if self._session is not None:
+            self._session.stop()
+
+    @property
+    def is_running(self) -> bool:
+        return self._session is not None and self._session.is_running
+
+    @property
+    def last_error(self) -> str:
+        return self._last_error
+
+    @property
+    def session(self) -> Optional[Session]:
+        return self._session
+
+    def close(self) -> None:
+        self.stop()
+        self.unload_source()
+
+
+def jax_state_compatible(a, b) -> bool:
+    import jax
+
+    fa, _ = jax.tree.flatten(a)
+    fb, _ = jax.tree.flatten(b)
+    return len(fa) == len(fb) and all(
+        x.shape == y.shape and x.dtype == y.dtype for x, y in zip(fa, fb)
+    )

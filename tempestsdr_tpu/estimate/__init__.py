@@ -1,0 +1,12 @@
+"""Automatic display-mode estimation.
+
+The reference splits this between the C autocorrelation thread
+(frameratedetector.c — produces the two lag plots, already implemented in the
+streaming pipeline) and the Java GUI (peak picking, fps/height transformers,
+3-round convergence, VESA snapping — Main.java:1232-1371, VideoMode.java).
+Here the whole estimation loop is host-side Python over the pipeline's plot
+outputs.
+"""
+
+from .vesa import VideoMode, VIDEO_MODES, find_closest_mode  # noqa: F401
+from .autores import AutoResolution, Estimate, estimate_from_plots  # noqa: F401

@@ -1,0 +1,46 @@
+"""AM envelope demodulation and on-device IQ normalization.
+
+am_demod mirrors TempestSDR/src/TSDRLibrary.c:244-262 (|I + jQ| per sample).
+normalize_iq mirrors the RawFile plugin's per-format scaling
+(TSDRPlugin_RawFile/src/TSDRPlugin_RawFile.c:241-261) but runs on device so
+the host->HBM transfer carries the narrow raw dtype (8x less PCIe traffic for
+uint8 captures than shipping float32).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def am_demod(iq: jnp.ndarray) -> jnp.ndarray:
+    """Envelope of interleaved IQ.
+
+    iq: float32[..., 2*n] interleaved I/Q, or complex64[..., n].
+    returns float32[..., n].
+    """
+    if jnp.iscomplexobj(iq):
+        return jnp.abs(iq).astype(jnp.float32)
+    i = iq[..., 0::2]
+    q = iq[..., 1::2]
+    return jnp.sqrt(i * i + q * q)
+
+
+def normalize_iq(raw: jnp.ndarray) -> jnp.ndarray:
+    """Convert raw recorded samples to float32 in [-1, 1].
+
+    Scale factors per TSDRPlugin_RawFile.c:241-261:
+      int8 /128, uint8 (x-128)/128, int16 /32767, uint16 (x-32767)/32767,
+      float passthrough.
+    """
+    dt = raw.dtype
+    if dt == jnp.float32:
+        return raw
+    if dt == jnp.int8:
+        return raw.astype(jnp.float32) / 128.0
+    if dt == jnp.uint8:
+        return (raw.astype(jnp.float32) - 128.0) / 128.0
+    if dt == jnp.int16:
+        return raw.astype(jnp.float32) / 32767.0
+    if dt == jnp.uint16:
+        return (raw.astype(jnp.float32) - 32767.0) / 32767.0
+    raise TypeError(f"unsupported IQ sample dtype {dt}")

@@ -1,0 +1,156 @@
+"""Fractional resampling: samplerate -> pixelrate, vectorized for TPU.
+
+The reference's `dsp_resample_process` (TempestSDR/src/dsp.c:256-307) is a
+sequential Bresenham-style accumulator in double precision: each output pixel
+value is the integral of the (piecewise-constant) input envelope over the
+pixel's time window, measured in pixel units — i.e. an area-weighted box
+filter — with fractional phase `offset` and partial-pixel `contrib` carried
+across blocks.
+
+TPU-native formulation: the mapping pixel -> input window is affine in the
+pixel index, so every output pixel of a block is computed independently as a
+small gather + weighted sum. Exactness and cross-block determinism come from
+int64 fixed-point phase arithmetic (FRAC_BITS fractional bits): the carried
+phase is an exact integer, so there is no floating-point drift ever, unlike
+a naive f32 ramp (f32 cannot even address a 1M-pixel block to sub-sample
+precision). The `contrib` carry is replaced by re-reading the previous
+block's tail samples (TAPS of them), which the caller prepends.
+
+  pixel p window (sample units): [a_p, a_p + inv),  a_p = phase + p*inv
+  out[p] = (1/inv) * sum_t x[floor(a_p)+t] * overlap(window, sample)
+
+Pixels are only emitted once complete (their window fully inside the data),
+matching output_samples = floor((size - offset) * rate) at dsp.c:262; the
+new phase is phase + n_out*inv - size in (-inv, 0] (dsp.c:306).
+
+Nearest-neighbour mode matches dsp.c:274-277: out[p] = x[(size*p)/n_out]
+(per-block integer mapping that ignores the fractional phase, like the
+reference).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import FRAC_BITS
+
+
+def resample_counts(phase_fix, inv_fix, n_samples: int):
+    """Number of pixels completed this block and the next-block phase.
+
+    Returns (n_out int32, new_phase_fix int64). Both exact integer math.
+    phase_fix may be far positive while a drop-compensation sample skip
+    drains (dsp.c:326-346 semantics folded into the phase); then n_out
+    clamps to 0 and the phase is simply advanced past this block.
+    """
+    size_fix = jnp.int64(n_samples) << FRAC_BITS
+    n_out64 = jnp.maximum((size_fix - phase_fix) // inv_fix, 0)
+    new_phase = phase_fix + n_out64 * inv_fix - size_fix
+    return n_out64.astype(jnp.int32), new_phase
+
+
+def box_resample_block(x_ext, phase_fix, inv_fix, *, n_samples: int, max_pix: int, taps: int):
+    """Area-weighted resample of one block.
+
+    x_ext: f32[taps + n_samples] — previous block's last `taps` samples
+        prepended to this block's envelope.
+    phase_fix: int64 scalar in (-inv, 0] — sample-coordinate (x FRAC_BITS
+        fixed point) of the next pixel's window start, relative to the first
+        sample of *this* block.
+    inv_fix: int64 scalar — samples-per-pixel in fixed point.
+
+    Returns (pixels f32[max_pix], n_out int32, new_phase_fix int64).
+    Entries past n_out are zero.
+    """
+    n_out, new_phase = resample_counts(phase_fix, inv_fix, n_samples)
+
+    p = jnp.arange(max_pix, dtype=jnp.int64)
+    a = phase_fix + p * inv_fix
+    b = a + inv_fix
+    i0 = (a >> FRAC_BITS).astype(jnp.int32)  # arithmetic shift == floor
+
+    scale = jnp.float32(1 << FRAC_BITS) / inv_fix.astype(jnp.float32)  # = rate
+    inv_scale = jnp.float32(2.0 ** (-FRAC_BITS))
+
+    acc = jnp.zeros((max_pix,), jnp.float32)
+    valid = p < n_out.astype(jnp.int64)
+    for t in range(taps):
+        idx = i0 + t
+        lo = jnp.maximum(a, idx.astype(jnp.int64) << FRAC_BITS)
+        hi = jnp.minimum(b, (idx + 1).astype(jnp.int64) << FRAC_BITS)
+        w = jnp.maximum(hi - lo, 0).astype(jnp.float32) * inv_scale
+        g = jnp.take(x_ext, jnp.clip(idx + taps, 0, x_ext.shape[0] - 1))
+        acc = acc + w * g
+    pixels = jnp.where(valid, acc * scale, 0.0).astype(jnp.float32)
+    return pixels, n_out, new_phase
+
+
+def box_resample_range(
+    x_local,
+    phase_fix,
+    inv_fix,
+    p_start,
+    p_end,
+    seg_offset,
+    *,
+    max_pix: int,
+    taps: int,
+):
+    """Area-weighted resample of an arbitrary global pixel range — the
+    time-sharded building block (BASELINE.json config 4).
+
+    x_local: f32[taps + seg + taps] — a shard's sample segment with left and
+        right halo of `taps` samples (exchanged via ppermute by the caller).
+    p_start/p_end: global pixel indices this shard produces (pixel p is owned
+        by the shard whose segment contains floor(a_p)).
+    seg_offset: global sample index of x_local's segment start (the left halo
+        sits at seg_offset - taps).
+
+    Returns pixels f32[max_pix] (entries past p_end - p_start are zero).
+    """
+    p = p_start.astype(jnp.int64) + jnp.arange(max_pix, dtype=jnp.int64)
+    a = phase_fix + p * inv_fix
+    b = a + inv_fix
+    i0 = (a >> FRAC_BITS).astype(jnp.int32)
+
+    scale = jnp.float32(1 << FRAC_BITS) / inv_fix.astype(jnp.float32)
+    inv_scale = jnp.float32(2.0 ** (-FRAC_BITS))
+
+    acc = jnp.zeros((max_pix,), jnp.float32)
+    valid = p < p_end.astype(jnp.int64)
+    base = taps - seg_offset
+    for t in range(taps):
+        idx = i0 + t
+        lo = jnp.maximum(a, idx.astype(jnp.int64) << FRAC_BITS)
+        hi = jnp.minimum(b, (idx + 1).astype(jnp.int64) << FRAC_BITS)
+        w = jnp.maximum(hi - lo, 0).astype(jnp.float32) * inv_scale
+        g = jnp.take(x_local, jnp.clip(idx + base, 0, x_local.shape[0] - 1))
+        acc = acc + w * g
+    return jnp.where(valid, acc * scale, 0.0).astype(jnp.float32)
+
+
+def nn_resample_block(x, phase_fix, inv_fix, *, n_samples: int, max_pix: int):
+    """Nearest-neighbour mode (dsp.c:274-277): out[p] = x[(size*p)//n_out].
+
+    The integer division by the traced n_out is computed as a float
+    approximation plus exact int64 correction (int64 multiply is cheap on
+    TPU, int64 divide per element is not).
+
+    Returns (pixels f32[max_pix], n_out int32, new_phase_fix int64).
+    """
+    n_out, new_phase = resample_counts(phase_fix, inv_fix, n_samples)
+    n_out64 = n_out.astype(jnp.int64)
+
+    p = jnp.arange(max_pix, dtype=jnp.int64)
+    num = jnp.int64(n_samples) * p
+    ratio = jnp.float32(n_samples) / jnp.maximum(n_out, 1).astype(jnp.float32)
+    q = (p.astype(jnp.float32) * ratio).astype(jnp.int64)
+    # exact floor-correction: want largest q with q*n_out <= num
+    q = jnp.where(q * n_out64 > num, q - 1, q)
+    q = jnp.where((q + 1) * n_out64 <= num, q + 1, q)
+    q = jnp.where(q * n_out64 > num, q - 1, q)  # second pass for safety
+
+    valid = p < n_out64
+    idx = jnp.clip(q, 0, n_samples - 1).astype(jnp.int32)
+    pixels = jnp.where(valid, jnp.take(x, idx), 0.0).astype(jnp.float32)
+    return pixels, n_out, new_phase

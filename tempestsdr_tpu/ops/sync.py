@@ -1,0 +1,160 @@
+"""Blanking-strip sync detection and the frame-rate PLL.
+
+Mirrors TempestSDR/src/syncdetector.c:
+  - find_best_fit <- findbestfit (:26-58): slide a circular strip of width s
+    over a collapsed 1-D profile maximizing
+    ((total-strip)/(n-s) - strip/s)^2. The reference's O(n) rolling-sum scan
+    becomes one cumsum + vectorized window sums. Its candidate bookkeeping
+    stores index i for the window starting at i+1 (:46-56) — an off-by-one we
+    reproduce bit-for-bit so detected positions match.
+  - find_the_sweet_spot <- findthesweetspot (:71-119): Gaussian-blur the
+    profile, try strip sizes {curr, curr+-4, curr*2, curr/2} (:90-93), keep
+    the best (sequential strict-> tie-breaking == first-wins argmax), then
+    IIR-smooth the strip centre with wraparound and derive a wrap-corrected
+    velocity (:101-118).
+  - framerate_pll <- frameratepll (:133-153): avg = 0.99*avg + 0.01*vx,
+    locked iff |avg| < 0.5, nudge refreshrate by vx*1e-5 (unlocked) or
+    avg*1e-6 (locked). The nudge lands on a traced f32 *delta* against the
+    static nominal refresh rate — steps are ~1e-6 of 60 Hz, far below f32
+    resolution at 60.0 but well above it at 0.0.
+
+All profile math is f64 (the reference uses double; strip-metric differences
+are tiny) — profiles are <= a few thousand elements so the emulated-f64 cost
+on TPU is negligible, once per frame.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+FRAMERATE_DX_LOWPASS_COEFF_HEIGHT = 0.1  # syncdetector.c:15
+FRAMERATE_DX_LOWPASS_COEFF_WIDTH = 0.9  # syncdetector.c:16
+FRAMERATE_PLL_SPEED_HI = 1e-5  # syncdetector.c:18
+FRAMERATE_PLL_SPEED_LO = 1e-6  # syncdetector.c:19
+FRAMERATE_PLL_LOCKED_VALUE = 0.5  # syncdetector.c:20
+
+
+class SweetspotState(NamedTuple):
+    """Per-axis detector carry (syncdetector.h sweetspot_data_t)."""
+
+    stripsize: jnp.ndarray  # i32 — adaptive strip width
+    dx: jnp.ndarray  # i32 — IIR-smoothed strip-centre position
+    vx: jnp.ndarray  # i32 — wrap-corrected velocity of dx
+
+    @staticmethod
+    def init() -> "SweetspotState":
+        # distinct buffers — donated jit args must not alias
+        return SweetspotState(jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+
+class PLLState(NamedTuple):
+    """Frame-rate PLL carry (syncdetector.h syncdetector_t)."""
+
+    avg_speed: jnp.ndarray  # f64
+    locked: jnp.ndarray  # bool
+    refresh_delta: jnp.ndarray  # f32 — offset vs nominal refreshrate
+
+    @staticmethod
+    def init() -> "PLLState":
+        return PLLState(jnp.float64(0.0), jnp.asarray(False), jnp.float32(0.0))
+
+
+def _circular_window_sums(data: jnp.ndarray, stripsize) -> jnp.ndarray:
+    """w[i] = sum of data[(i + k) % n] for k < stripsize, all i. f64."""
+    n = data.shape[0]
+    csum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float64), jnp.cumsum(jnp.concatenate([data, data]))]
+    )
+    i = jnp.arange(n)
+    return jnp.take(csum, i + stripsize) - jnp.take(csum, i)
+
+
+def find_best_fit(data: jnp.ndarray, totalsum, stripsize):
+    """Best circular strip of width `stripsize` (syncdetector.c:26-58).
+
+    Returns (bestfit f64, bestid i32) with the reference's id-lags-window-
+    by-one quirk: the winning window start j maps to id max(j-1, 0).
+    """
+    n = data.shape[0]
+    s = jnp.asarray(stripsize, jnp.float64)
+    w = _circular_window_sums(data, stripsize)
+    m = (totalsum - w) / (jnp.float64(n) - s) - w / s
+    m = m * m
+    j = jnp.argmax(m).astype(jnp.int32)
+    return m[j], jnp.maximum(j - 1, 0)
+
+
+def find_the_sweet_spot(
+    state: SweetspotState, data: jnp.ndarray, minsize: int, lowpasscoeff: float
+):
+    """One detection round on a collapsed profile (syncdetector.c:71-119).
+
+    data: f64[n] profile (will be Gaussian-blurred here).
+    minsize: static minimum strip size (width*0.05 / height*0.01 at call site).
+    Returns (state', blurred_profile, strip_start i32) — strip_start for the
+    debug markers (:98-99).
+    """
+    from .gaussian import gaussian_blur_circular
+
+    n = data.shape[0]
+    minsize = max(int(minsize), 1)
+    size2 = n >> 1
+
+    curr = jnp.clip(state.stripsize, minsize, size2)
+    data = gaussian_blur_circular(data)
+    totalsum = jnp.sum(data)
+
+    # candidate strip sizes in the reference's probe order (:88-93)
+    cand = jnp.stack(
+        [curr, curr - 4, curr + 4, curr >> 1, curr << 1]
+    ).astype(jnp.int32)
+    valid = (cand >= minsize) & (cand < size2) & (cand != curr)
+    valid = valid.at[0].set(True)  # base size always evaluated
+    safe = jnp.where(valid, cand, curr)
+
+    fits = []
+    ids = []
+    for k in range(5):
+        f, i = find_best_fit(data, totalsum, safe[k])
+        fits.append(jnp.where(valid[k], f, -jnp.inf))
+        ids.append(i)
+    fits = jnp.stack(fits)
+    ids = jnp.stack(ids)
+    win = jnp.argmax(fits)  # first-wins == sequential strict->
+    beststripstart = ids[win]
+    beststripsize = safe[win]
+
+    # IIR position tracking with wraparound (:101-116)
+    h2 = n // 2
+    dxnl = (beststripstart + beststripsize // 2) % n
+    rawdiff = dxnl - state.dx
+    dx0 = jnp.where(rawdiff > h2, state.dx + n, state.dx)
+    dxnl = jnp.where(rawdiff < -h2, dxnl + n, dxnl)
+    lastx = dx0
+    c = jnp.float64(lowpasscoeff)
+    dx1 = (
+        jnp.round(dxnl.astype(jnp.float64) * c + (1.0 - c) * dx0.astype(jnp.float64))
+        .astype(jnp.int64) % n
+    ).astype(jnp.int32)
+    rawvx = dx1 - lastx
+    vx = jnp.where(
+        rawvx > h2, n - rawvx, jnp.where(rawvx < -h2, -n - rawvx, rawvx)
+    ).astype(jnp.int32)
+
+    return SweetspotState(beststripsize, dx1, vx), data, beststripstart
+
+
+def framerate_pll(pll: PLLState, vx, *, enabled: bool) -> PLLState:
+    """PLL update from the horizontal-axis velocity (syncdetector.c:133-153)."""
+    avg = pll.avg_speed * 0.99 + 0.01 * vx.astype(jnp.float64)
+    locked = (avg < FRAMERATE_PLL_LOCKED_VALUE) & (avg > -FRAMERATE_PLL_LOCKED_VALUE)
+    if not enabled:
+        return PLLState(avg, locked, pll.refresh_delta)
+    diff = jnp.where(
+        locked, avg * FRAMERATE_PLL_SPEED_LO, vx.astype(jnp.float64) * FRAMERATE_PLL_SPEED_HI
+    )
+    diff = jnp.where(vx == 0, 0.0, diff)
+    delta = pll.refresh_delta - diff.astype(jnp.float32)
+    return PLLState(avg, locked, delta)

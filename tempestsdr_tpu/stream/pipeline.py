@@ -1,0 +1,328 @@
+"""The jitted per-block streaming step.
+
+One call to `step(state, raw_block, controls)` performs everything the
+reference's five threads do for one chunk of IQ (SURVEY.md §3.2-3.4):
+
+  raw -> normalize -> AM demod ----------------> autocorr accumulate (C5)
+                         |
+             drop compensation (C2f, as exact phase arithmetic)
+                         |
+          [optional FIR low-pass (TPU-native addition)]
+                         |
+        fractional box resample to pixel rate (C2e)
+                         |
+        manual-sync pixel skip + frame fold
+                         |
+   (on frame completion) post-process: autogain / motion-blur IIR /
+        collapse / sync detect / frame-rate PLL / autoshift  (C2a-d, C3)
+
+Everything is static-shaped; frame completion and estimation-round completion
+are lax.cond branches. The returned StepOutputs carries the frame plus the
+reference's two callback channels (values + plots, TSDRLibrary.h:57-59).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import (
+    FRAC_BITS,
+    PipelineConfig,
+    NORMALISATION_LOWPASS_COEFF,
+    PIXEL_SPECIAL_VALUE_G,
+)
+from ..params import Params
+from ..ops.demod import am_demod, normalize_iq
+from ..ops.resample import box_resample_block, nn_resample_block
+from ..ops.fir import design_lowpass_fir, fir_apply_block
+from ..ops.frame import autogain_run, collapse_v_h, time_lowpass
+from ..ops.sync import (
+    FRAMERATE_DX_LOWPASS_COEFF_HEIGHT,
+    FRAMERATE_DX_LOWPASS_COEFF_WIDTH,
+    PLLState,
+    find_the_sweet_spot,
+    framerate_pll,
+)
+from ..ops.autocorr import accumulate_running_mean, autocorrelation_magnitude
+from .state import StreamState, StepOutputs
+
+
+class StepControls(NamedTuple):
+    """Per-block host inputs (the interactive-control surface of
+    TSDRLibrary.c: tsdr_sync, motionblur, plugin-reported drops)."""
+
+    samples_dropped: jnp.ndarray  # i64 — from the source (TSDRPlugin.h:49)
+    syncoffset: jnp.ndarray  # i32 — manual sync shift in pixels (tsdr_sync)
+    motionblur: jnp.ndarray  # f32 — frame-averaging coefficient
+
+    @staticmethod
+    def default() -> "StepControls":
+        return StepControls(jnp.int64(0), jnp.int32(0), jnp.float32(0.0))
+
+
+def _sync_detect(config: PipelineConfig, params: Params, data2d, sync_x, sync_y, pll, wprof, hprof):
+    """syncdetector_run (syncdetector.c:171-226)."""
+    sx, _, _ = find_the_sweet_spot(
+        sync_x, wprof, int(config.width * np.float32(0.05)), FRAMERATE_DX_LOWPASS_COEFF_WIDTH
+    )
+    sy, _, _ = find_the_sweet_spot(
+        sync_y, hprof, int(config.height * np.float32(0.01)), FRAMERATE_DX_LOWPASS_COEFF_HEIGHT
+    )
+    pll = framerate_pll(pll, sx.vx, enabled=params.framerate_pll)
+
+    if params.autoshift:
+        # quadrant rotation (syncdetector.c:187-207) == circular shift moving
+        # the detected blanking strips to the frame edges
+        out = jnp.roll(data2d, shift=(-sy.dx, -sx.dx), axis=(0, 1))
+    elif params.debug_markers:
+        h, w = data2d.shape
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) == sx.dx
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) == sy.dx
+        out = jnp.where(col | row, jnp.float32(PIXEL_SPECIAL_VALUE_G), data2d)
+    else:
+        out = data2d
+    return out, sx, sy, pll
+
+
+def _post_process(config: PipelineConfig, params: Params, frame2d, screen, ag, sync_x, sync_y, pll, motionblur):
+    """dsp_post_process (dsp.c:134-239): the configurable-order chain."""
+    inp = frame2d
+    if not params.autogain_after_proc:
+        inp, mn, mx, snr = autogain_run(inp, ag[0], ag[1], NORMALISATION_LOWPASS_COEFF)
+        ag = (mn, mx, snr)
+
+    if params.lowpass_before_sync:
+        screen = time_lowpass(screen, inp, motionblur)
+        wprof, hprof = collapse_v_h(screen)
+        syncres, sync_x, sync_y, pll = _sync_detect(
+            config, params, screen, sync_x, sync_y, pll, wprof, hprof
+        )
+        if params.autogain_after_proc:
+            result, mn, mx, snr = autogain_run(syncres, ag[0], ag[1], NORMALISATION_LOWPASS_COEFF)
+            ag = (mn, mx, snr)
+        else:
+            result = syncres
+    else:
+        wprof, hprof = collapse_v_h(inp)
+        syncres, sync_x, sync_y, pll = _sync_detect(
+            config, params, inp, sync_x, sync_y, pll, wprof, hprof
+        )
+        screen = time_lowpass(screen, syncres, motionblur)
+        if params.autogain_after_proc:
+            result, mn, mx, snr = autogain_run(screen, ag[0], ag[1], NORMALISATION_LOWPASS_COEFF)
+            ag = (mn, mx, snr)
+        else:
+            result = screen
+
+    return result, screen, ag, sync_x, sync_y, pll
+
+
+def make_step(config: PipelineConfig, params: Params):
+    """Build the jittable per-block step for one channel.
+
+    Returns step(state: StreamState, raw: [2*block_samples] any supported
+    dtype, controls: StepControls) -> (StreamState, StepOutputs).
+    """
+    n = config.block_samples
+    taps = config.resample_taps
+    max_pix = config.max_block_pixels
+    frame_pixels = config.frame_pixels
+    h, w = config.height, config.width
+    inv0_fix = config.inv0_fix
+    # two-frame drop-compensation granularity (TSDRLibrary.c:284)
+    block2 = int(round(2 * frame_pixels * config.samples_per_pixel))
+    run_autocorr = config.autocorr and not params.autocorr_plots_off
+    if run_autocorr:
+        ac_round = config.ac_round_samples
+        ac_fft = config.ac_fft_size
+        fw_off, fw_len = config.ac_frame_window
+        lw_off, lw_len = config.ac_line_window
+        if ac_round < n:
+            raise ValueError("autocorr round shorter than a block; shrink block_samples")
+    if params.fir_lowpass_taps:
+        fir_taps = jnp.asarray(
+            design_lowpass_fir(params.fir_lowpass_taps, min(1.0 / config.samples_per_pixel, 0.98))
+        )
+
+    def step(state: StreamState, raw, controls: StepControls):
+        env = am_demod(normalize_iq(raw))  # f32[n]
+
+        # ---- drop compensation: fold the whole-2-frame sample skip into the
+        # resampler phase (dsp_dropped_compensation semantics, dsp.c:313-368)
+        dropped = controls.samples_dropped.astype(jnp.int64)
+        skip_before = jnp.maximum(state.phase_fix, 0) >> FRAC_BITS
+        new_skip = jnp.where(dropped > 0, (skip_before - dropped) % block2, skip_before)
+        phase = state.phase_fix + ((new_skip - skip_before) << FRAC_BITS)
+        drop_all = phase >= (jnp.int64(n) << FRAC_BITS)
+
+        # ---- autocorrelation accumulation (frameratedetector_run
+        # TSDRLibrary.c:287-293, frameratedetector.c:215-230)
+        if run_autocorr:
+            purge = dropped != 0
+            fed = (~drop_all) & (~purge)
+            fill0 = jnp.where(purge, 0, state.ac_fill)
+            written = lax.dynamic_update_slice(state.ac_buf, env, (fill0,))
+            ac_buf = jnp.where(fed, written, state.ac_buf)
+            ac_fill = jnp.where(fed, fill0 + n, fill0)
+            round_done = ac_fill >= ac_round
+
+            def ac_round_fn(ops):
+                buf, avg_f, avg_l, calls = ops
+                r = autocorrelation_magnitude(buf[:ac_fft])
+                calls = calls + 1
+                avg_f = accumulate_running_mean(avg_f, r[fw_off : fw_off + fw_len], calls)
+                avg_l = accumulate_running_mean(avg_l, r[lw_off : lw_off + lw_len], calls)
+                buf = jnp.concatenate([buf[ac_round:], jnp.zeros((ac_round,), jnp.float32)])
+                return buf, avg_f, avg_l, calls
+
+            ac_buf, ac_avg_frame, ac_avg_line, ac_calls = lax.cond(
+                round_done,
+                ac_round_fn,
+                lambda ops: ops,
+                (ac_buf, state.ac_avg_frame, state.ac_avg_line, state.ac_calls),
+            )
+            ac_fill = jnp.where(round_done, ac_fill - ac_round, ac_fill)
+        else:
+            round_done = jnp.asarray(False)
+            ac_buf, ac_fill = state.ac_buf, state.ac_fill
+            ac_avg_frame, ac_avg_line, ac_calls = (
+                state.ac_avg_frame,
+                state.ac_avg_line,
+                state.ac_calls,
+            )
+
+        # ---- optional FIR low-pass (overlap-save)
+        if params.fir_lowpass_taps:
+            env, fir_tail = fir_apply_block(env, state.fir_tail, fir_taps)
+        else:
+            fir_tail = state.fir_tail
+
+        # ---- fractional resample to pixel rate; the PLL's refresh delta
+        # modulates the fixed-point samples-per-pixel (set_internal_samplerate
+        # TSDRLibrary.c:540-550 re-derivation, with width held static)
+        delta = state.pll.refresh_delta
+        corr_factor = delta / (jnp.float32(config.refreshrate) + delta)
+        inv_corr = jnp.round(jnp.float32(inv0_fix) * corr_factor).astype(jnp.int64)
+        inv_fix = jnp.int64(inv0_fix) - inv_corr
+
+        x_ext = jnp.concatenate([state.tail, env])
+        if params.nearest_neighbour:
+            pixels, n_out, phase2 = nn_resample_block(
+                env, phase, inv_fix, n_samples=n, max_pix=max_pix
+            )
+        else:
+            pixels, n_out, phase2 = box_resample_block(
+                x_ext, phase, inv_fix, n_samples=n, max_pix=max_pix, taps=taps
+            )
+        new_tail = x_ext[x_ext.shape[0] - taps :]
+
+        # ---- manual sync shift as a pixel skip (tsdr_sync TSDRLibrary.c:576-602
+        # consumed via compensation in decimatingthread :345-346)
+        pend = (state.skip_pixels + controls.syncoffset) % frame_pixels
+        k = jnp.minimum(pend, n_out)
+        pixels = lax.dynamic_slice(
+            jnp.concatenate([pixels, jnp.zeros((max_pix,), jnp.float32)]), (k,), (max_pix,)
+        )
+        n_valid = n_out - k
+        pend = pend - k
+
+        # ---- frame fold
+        window = lax.dynamic_slice(state.framebuf, (state.fill,), (max_pix,))
+        mask = jnp.arange(max_pix, dtype=jnp.int32) < n_valid
+        framebuf = lax.dynamic_update_slice(
+            state.framebuf, jnp.where(mask, pixels, window), (state.fill,)
+        )
+        fill2 = state.fill + n_valid
+        emit = fill2 >= frame_pixels
+
+        # ---- per-frame post-processing on completion
+        def do_emit(ops):
+            framebuf, fill2, screen, ag, sx, sy, pll = ops
+            frame2d = framebuf[:frame_pixels].reshape(h, w)
+            result, screen, ag, sx, sy, pll = _post_process(
+                config, params, frame2d, screen, ag, sx, sy, pll, controls.motionblur
+            )
+            framebuf = jnp.concatenate(
+                [framebuf[frame_pixels:], jnp.zeros((frame_pixels,), jnp.float32)]
+            )
+            return framebuf, fill2 - frame_pixels, screen, ag, sx, sy, pll, result
+
+        def no_emit(ops):
+            framebuf, fill2, screen, ag, sx, sy, pll = ops
+            return framebuf, fill2, screen, ag, sx, sy, pll, jnp.zeros((h, w), jnp.float32)
+
+        ag = (state.ag_min, state.ag_max, state.ag_snr)
+        framebuf, fill, screen, ag, sync_x, sync_y, pll, frame_out = lax.cond(
+            emit,
+            do_emit,
+            no_emit,
+            (framebuf, fill2, state.screenbuffer, ag, state.sync_x, state.sync_y, state.pll),
+        )
+
+        new_state = StreamState(
+            phase_fix=phase2,
+            tail=new_tail,
+            fir_tail=fir_tail,
+            skip_pixels=pend,
+            fill=fill,
+            framebuf=framebuf,
+            screenbuffer=screen,
+            ag_min=ag[0],
+            ag_max=ag[1],
+            ag_snr=ag[2],
+            sync_x=sync_x,
+            sync_y=sync_y,
+            pll=pll,
+            runs=state.runs + emit.astype(jnp.int32),
+            frame_count=state.frame_count + emit.astype(jnp.int64),
+            ac_buf=ac_buf,
+            ac_fill=ac_fill,
+            ac_avg_frame=ac_avg_frame,
+            ac_avg_line=ac_avg_line,
+            ac_calls=ac_calls,
+        )
+        outputs = StepOutputs(
+            frame=frame_out,
+            frame_valid=emit,
+            n_pixels=n_out,
+            refreshrate=jnp.float32(config.refreshrate) + pll.refresh_delta,
+            pll_locked=pll.locked,
+            ag_min=ag[0],
+            ag_max=ag[1],
+            ag_snr=ag[2],
+            sync_dx=sync_x.dx,
+            sync_dy=sync_y.dx,
+            ac_frame_plot=ac_avg_frame,
+            ac_line_plot=ac_avg_line,
+            ac_plot_valid=round_done,
+            ac_calls=ac_calls,
+        )
+        return new_state, outputs
+
+    return step
+
+
+def make_multi_step(config: PipelineConfig, params: Params):
+    """vmapped multi-channel step: leading channel axis on state, raw blocks
+    and controls (BASELINE.json config 5 — independent emitters)."""
+    step = make_step(config, params)
+    return jax.vmap(step)
+
+
+def make_scan_runner(config: PipelineConfig, params: Params, n_blocks: int):
+    """Scan `n_blocks` blocks in one XLA program (amortizes dispatch for
+    benchmarking and high-rate streaming). raw: [n_blocks, 2*block]."""
+    step = make_step(config, params)
+
+    def run(state, raw_blocks, controls: StepControls):
+        def body(st, raw):
+            return step(st, raw, controls)
+
+        return lax.scan(body, state, raw_blocks)
+
+    return run

@@ -1,0 +1,223 @@
+"""Host-side streaming session: feeds source blocks into the jitted step and
+fans results out to callbacks.
+
+Replaces the reference's thread orchestration in tsdr_readasync
+(TSDRLibrary.c:467-536): one host loop, device compute asynchronously
+pipelined behind it (JAX dispatch is async; while the TPU crunches block k
+the host prepares block k+1). Interactive controls (sync shift, motion blur,
+autocorr reset/dump) are plain method calls applied between steps — no locks,
+no volatile flags.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..params import DIRECTION, Params
+from ..errors import TSDRError, TSDRStatus
+from ..events import PLOT_ID, VALUE_ID, PlotEvent, ValueEvent
+from ..sources.base import Source
+from .pipeline import StepControls, make_step
+from .state import StreamState, init_state, reset_autocorr
+
+AUTOGAIN_REPORT_EVERY_FRAMES = 5  # dsp.c:20
+
+
+@dataclass
+class SessionCallbacks:
+    on_frame: Optional[Callable[[np.ndarray], None]] = None
+    on_value: Optional[Callable[[ValueEvent], None]] = None
+    on_plot: Optional[Callable[[PlotEvent], None]] = None
+    on_stopped: Optional[Callable[[], None]] = None
+    on_exception: Optional[Callable[[BaseException], None]] = None
+
+
+class Session:
+    def __init__(
+        self,
+        config: PipelineConfig,
+        params: Params,
+        source: Source,
+        callbacks: SessionCallbacks | None = None,
+    ):
+        self.config = config
+        self.params = params
+        self.source = source
+        self.callbacks = callbacks or SessionCallbacks()
+        self._step = jax.jit(make_step(config, params), donate_argnums=0)
+        self.state: StreamState = init_state(config, params.fir_lowpass_taps)
+        self._pending_sync = 0
+        self._motionblur = 0.0
+        self._pending_ac_reset = False
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self._agruns = 0
+        self._last_refresh = None
+
+    # ---- interactive control surface (tsdr_* API equivalents) ----
+
+    def sync_shift(self, pixels: int, direction: int = DIRECTION.CUSTOM) -> None:
+        """tsdr_sync (TSDRLibrary.c:576-602)."""
+        if pixels == 0:
+            return
+        w, h = self.config.width, self.config.height
+        d = DIRECTION(direction)
+        if d == DIRECTION.CUSTOM:
+            off = pixels
+        elif d == DIRECTION.UP:
+            self._check(0 <= pixels <= h, "shift exceeds height")
+            off = pixels * w
+        elif d == DIRECTION.DOWN:
+            self._check(0 <= pixels <= h, "shift exceeds height")
+            off = -pixels * w
+        elif d == DIRECTION.LEFT:
+            self._check(0 <= pixels <= w, "shift exceeds width")
+            off = pixels
+        else:  # RIGHT
+            self._check(0 <= pixels <= w, "shift exceeds width")
+            off = -pixels
+        self._pending_sync += off
+
+    @staticmethod
+    def _check(cond: bool, msg: str):
+        if not cond:
+            raise TSDRError(TSDRStatus.WRONG_VIDEOPARAMS, msg)
+
+    def set_motionblur(self, coeff: float) -> None:
+        """tsdr_motionblur (TSDRLibrary.c:568-574)."""
+        if not 0.0 <= coeff <= 1.0:
+            raise TSDRError(TSDRStatus.WRONG_VIDEOPARAMS, "motionblur outside [0,1]")
+        self._motionblur = coeff
+
+    def reset_autocorr(self) -> None:
+        """PARAM_AUTOCORR_PLOTS_RESET equivalent."""
+        self._pending_ac_reset = True
+
+    def set_basefreq(self, freq: float) -> None:
+        """tsdr_setbasefreq (TSDRLibrary.c:195-205): retune + flush the
+        cached autocorrelation estimate."""
+        self.source.set_basefreq(freq)
+        self._pending_ac_reset = True
+
+    def set_gain(self, gain: float) -> None:
+        self.source.set_gain(gain)
+
+    def current_refreshrate(self) -> float:
+        return float(self.config.refreshrate + np.asarray(self.state.pll.refresh_delta))
+
+    # ---- checkpoint / resume (absent in reference; SURVEY.md §5.4) ----
+
+    def save_state(self, path: str) -> None:
+        flat, treedef = jax.tree.flatten(self.state)
+        np.savez(path, *[np.asarray(x) for x in flat])
+
+    def load_state(self, path: str) -> None:
+        with np.load(path) as z:
+            flat = [z[k] for k in z.files]
+        ref_flat, treedef = jax.tree.flatten(self.state)
+        if len(flat) != len(ref_flat):
+            raise TSDRError(TSDRStatus.INVALID_PARAMETER_VALUE, "state shape mismatch")
+        self.state = jax.tree.unflatten(treedef, [jnp.asarray(x) for x in flat])
+
+    # ---- the streaming loop ----
+
+    def run(self, max_blocks: Optional[int] = None, max_frames: Optional[int] = None):
+        """Synchronous loop (blocking like tsdr_readasync, TSDRLibrary.c:515)."""
+        self._running = True
+        blocks = 0
+        frames = 0
+        try:
+            for blk in self.source.stream(self.config.block_samples):
+                if not self._running:
+                    break
+                if self._pending_ac_reset:
+                    self.state = reset_autocorr(self.state)
+                    self._pending_ac_reset = False
+                    self._emit_value(ValueEvent(VALUE_ID.AUTOCORRECT_RESET, 0, 0))
+                controls = StepControls(
+                    jnp.int64(blk.dropped),
+                    jnp.int32(self._pending_sync),
+                    jnp.float32(self._motionblur),
+                )
+                self._pending_sync = 0
+                self.state, out = self._step(self.state, jnp.asarray(blk.samples), controls)
+                blocks += 1
+                frames += self._dispatch(out)
+                if max_blocks is not None and blocks >= max_blocks:
+                    break
+                if max_frames is not None and frames >= max_frames:
+                    break
+        except BaseException as e:  # propagate like announceexception
+            if self.callbacks.on_exception:
+                self.callbacks.on_exception(e)
+            else:
+                raise
+        finally:
+            self._running = False
+            self.source.stop()
+            if self.callbacks.on_stopped:
+                self.callbacks.on_stopped()
+        return frames
+
+    def start_async(self, **kw) -> None:
+        """TSDRLibrary.java:288-338 startAsync equivalent."""
+        if self._thread is not None and self._thread.is_alive():
+            raise TSDRError(TSDRStatus.ALREADY_RUNNING, "session already streaming")
+        self._thread = threading.Thread(target=self.run, kwargs=kw, daemon=True)
+        self._thread.start()
+
+    def stop(self, join: bool = True) -> None:
+        self._running = False
+        self.source.stop()
+        if join and self._thread is not None:
+            self._thread.join(timeout=30)
+
+    @property
+    def is_running(self) -> bool:
+        return self._running
+
+    # ---- output fan-out ----
+
+    def _emit_value(self, ev: ValueEvent):
+        if self.callbacks.on_value:
+            self.callbacks.on_value(ev)
+
+    def _dispatch(self, out) -> int:
+        """Convert StepOutputs into the reference's callback streams.
+        Returns 1 if a frame was emitted."""
+        got_frame = bool(out.frame_valid)
+        if got_frame:
+            if self.callbacks.on_frame:
+                self.callbacks.on_frame(np.asarray(out.frame))
+            rr = float(out.refreshrate)
+            if self.params.framerate_pll and rr != self._last_refresh:
+                self._last_refresh = rr
+                self._emit_value(ValueEvent(VALUE_ID.PLL_FRAMERATE, rr, 0))
+            self._agruns += 1
+            if self._agruns > AUTOGAIN_REPORT_EVERY_FRAMES:  # dsp.c:231-235
+                self._agruns = 0
+                self._emit_value(
+                    ValueEvent(VALUE_ID.AUTOGAIN_VALUES, float(out.ag_min), float(out.ag_max))
+                )
+                self._emit_value(ValueEvent(VALUE_ID.SNR, float(out.ag_snr), 0))
+        if bool(out.ac_plot_valid) and self.callbacks.on_plot:
+            sr = self.config.samplerate
+            f_off, _ = self.config.ac_frame_window
+            l_off, _ = self.config.ac_line_window
+            self.callbacks.on_plot(
+                PlotEvent(PLOT_ID.FRAME, f_off, np.asarray(out.ac_frame_plot), sr)
+            )
+            self.callbacks.on_plot(
+                PlotEvent(PLOT_ID.LINE, l_off, np.asarray(out.ac_line_plot), sr)
+            )
+            self._emit_value(
+                ValueEvent(VALUE_ID.AUTOCORRECT_FRAMES_COUNT, 0, int(out.ac_calls))
+            )
+        return 1 if got_frame else 0

@@ -1,0 +1,222 @@
+"""Golden-output unit tests: vectorized TPU ops vs sequential C-semantics
+oracles (SURVEY.md §4 test-pyramid item (a))."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tempestsdr_tpu.config import FRAC_BITS
+from tempestsdr_tpu.ops import (
+    am_demod,
+    normalize_iq,
+    gaussian_blur_circular,
+    autocorrelation_magnitude,
+    accumulate_running_mean,
+    box_resample_block,
+    nn_resample_block,
+    design_lowpass_fir,
+    fir_apply_block,
+    autogain_run,
+    collapse_v_h,
+    time_lowpass,
+    find_best_fit,
+    find_the_sweet_spot,
+    SweetspotState,
+)
+import oracles
+
+
+def test_am_demod_matches_envelope():
+    rng = np.random.default_rng(0)
+    iq = rng.normal(size=4096).astype(np.float32)
+    out = np.asarray(am_demod(jnp.asarray(iq)))
+    i, q = iq[0::2], iq[1::2]
+    np.testing.assert_allclose(out, np.sqrt(i * i + q * q), rtol=1e-6)
+
+
+def test_normalize_iq_formats():
+    # TSDRPlugin_RawFile.c:241-261 scale factors
+    assert np.isclose(float(normalize_iq(jnp.asarray([-128], jnp.int8))[0]), -1.0)
+    assert np.isclose(float(normalize_iq(jnp.asarray([0], jnp.uint8))[0]), -1.0)
+    assert np.isclose(float(normalize_iq(jnp.asarray([32767], jnp.int16))[0]), 1.0)
+    assert np.isclose(
+        float(normalize_iq(jnp.asarray([65535], jnp.uint16))[0]), 32768 / 32767
+    )
+    x = jnp.asarray([0.25], jnp.float32)
+    assert float(normalize_iq(x)[0]) == 0.25
+
+
+def test_gaussian_blur_matches_oracle():
+    rng = np.random.default_rng(1)
+    for n in (5, 17, 444, 600):
+        data = rng.normal(size=n)
+        ours = np.asarray(gaussian_blur_circular(jnp.asarray(data)))
+        np.testing.assert_allclose(ours, oracles.gaussian_blur(data), rtol=1e-5, atol=1e-6)
+
+
+def test_autocorrelation_matches_oracle():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=4096).astype(np.float32) + 1.0
+    ours = np.asarray(autocorrelation_magnitude(jnp.asarray(x)))
+    ref = oracles.autocorrelation_magnitude(x)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3 * ref.max())
+
+
+def test_accumulate_running_mean():
+    rng = np.random.default_rng(3)
+    rounds = [rng.normal(size=64) for _ in range(5)]
+    avg = jnp.zeros(64, jnp.float32)
+    for k, r in enumerate(rounds, start=1):
+        avg = accumulate_running_mean(avg, jnp.asarray(r, jnp.float32), k)
+    np.testing.assert_allclose(np.asarray(avg), np.mean(rounds, axis=0), rtol=1e-4, atol=1e-5)
+
+
+# generic-position rates only: any rate where block_size*rate is an exact
+# integer in double hits the reference's block-boundary contrib quirk (see
+# test_box_resample_exact_integer_rates)
+@pytest.mark.parametrize("rate", [1.987654321, 1.512345677, 0.731234567, 0.314159265, 3.214159265])
+def test_box_resample_matches_oracle_streaming(rate):
+    """Stream several blocks through both implementations; the fixed-point
+    phase carry must reproduce the reference's double-precision offsets."""
+    rng = np.random.default_rng(4)
+    n_samples = 1000
+    n_blocks = 7
+    inv = 1.0 / rate
+    inv_fix = jnp.int64(round(inv * (1 << FRAC_BITS)))
+    taps = int(np.ceil(inv)) + 1
+    max_pix = int(n_samples * rate) + 2
+
+    import jax
+
+    fn = jax.jit(
+        lambda xe, ph: box_resample_block(
+            xe, ph, inv_fix, n_samples=n_samples, max_pix=max_pix, taps=taps
+        )
+    )
+    offset, contrib = 0.0, 0.0
+    phase = jnp.int64(0)
+    tail = jnp.zeros(taps, jnp.float32)
+    for b in range(n_blocks):
+        x = rng.normal(size=n_samples).astype(np.float32)
+        ref, offset, contrib, n_written = oracles.resample_linear(x, offset, contrib, rate)
+        x_ext = jnp.concatenate([tail, jnp.asarray(x)])
+        pix, n_out, phase = fn(x_ext, phase)
+        n_out = int(n_out)
+        assert n_out == len(ref), f"block {b}: {n_out} vs {len(ref)}"
+        # compare only pixels the C loop actually wrote (see oracle note on
+        # the exact-block-boundary contrib-drop quirk)
+        np.testing.assert_allclose(
+            np.asarray(pix[:n_written]), ref[:n_written], rtol=2e-4, atol=2e-4
+        )
+        # fixed-point phase tracks the double offset
+        assert abs(float(phase) / (1 << FRAC_BITS) - offset) < 1e-6
+        tail = x_ext[x_ext.shape[0] - taps:]
+
+
+@pytest.mark.parametrize("rate", [2.0, 1.0])
+def test_box_resample_exact_integer_rates(rate):
+    """At exactly pixel-aligned rates the C loop mis-emits the block-seam
+    pixel (its `contrib` from the unemitted final pixel leaks into pixel 1 of
+    the next block — dsp.c:288-303); the TPU implementation produces the
+    mathematically correct box integral, asserted here directly."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    n_samples = 500
+    inv_fix = jnp.int64(round((1.0 / rate) * (1 << FRAC_BITS)))
+    taps = int(np.ceil(1.0 / rate)) + 1
+    max_pix = int(n_samples * rate) + 2
+    phase = jnp.int64(0)
+    tail = jnp.zeros(taps, jnp.float32)
+    for _ in range(3):
+        x = rng.normal(size=n_samples).astype(np.float32)
+        x_ext = jnp.concatenate([tail, jnp.asarray(x)])
+        pix, n_out, phase = box_resample_block(
+            x_ext, phase, inv_fix, n_samples=n_samples, max_pix=max_pix, taps=taps
+        )
+        n_out = int(n_out)
+        assert n_out == int(n_samples * rate)
+        expected = x[(np.arange(n_out) / rate).astype(np.int64)]
+        np.testing.assert_allclose(np.asarray(pix[:n_out]), expected, rtol=1e-5)
+        tail = x_ext[x_ext.shape[0] - taps:]
+
+
+@pytest.mark.parametrize("rate", [2.0, 1.912345678, 0.712345678])
+def test_nn_resample_matches_oracle(rate):
+    rng = np.random.default_rng(5)
+    n_samples = 1000
+    inv_fix = jnp.int64(round((1.0 / rate) * (1 << FRAC_BITS)))
+    max_pix = int(n_samples * rate) + 2
+    offset = 0.0
+    phase = jnp.int64(0)
+    for _ in range(4):
+        x = rng.normal(size=n_samples).astype(np.float32)
+        ref, offset = oracles.resample_nn(x, offset, rate)
+        pix, n_out, phase = nn_resample_block(
+            jnp.asarray(x), phase, inv_fix, n_samples=n_samples, max_pix=max_pix
+        )
+        n_out = int(n_out)
+        assert n_out == len(ref)
+        np.testing.assert_allclose(np.asarray(pix[:n_out]), ref, rtol=1e-6)
+
+
+def test_fir_streaming_equals_full_convolution():
+    rng = np.random.default_rng(6)
+    taps = jnp.asarray(design_lowpass_fir(31, 0.5))
+    x = rng.normal(size=3000).astype(np.float32)
+    # streaming in 3 blocks
+    tail = jnp.zeros(30, jnp.float32)
+    outs = []
+    for b in range(3):
+        y, tail = fir_apply_block(jnp.asarray(x[b * 1000 : (b + 1) * 1000]), tail, taps)
+        outs.append(np.asarray(y))
+    ours = np.concatenate(outs)
+    ref = np.convolve(np.concatenate([np.zeros(30), x]), np.asarray(taps), mode="valid")
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_autogain_matches_oracle():
+    rng = np.random.default_rng(7)
+    frame = rng.normal(size=(60, 80)).astype(np.float32) * 3 + 1
+    frame[5, 5] = 512.0  # special marker passes through
+    lastmin = lastmax = 0.0
+    ref, rmn, rmx, rsnr = oracles.autogain(frame, lastmin, lastmax)
+    out, mn, mx, snr = autogain_run(jnp.asarray(frame), jnp.float32(0), jnp.float32(0))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+    assert abs(float(mn) - rmn) < 1e-4 and abs(float(mx) - rmx) < 1e-4
+    assert abs(float(snr) - rsnr) < 1e-2
+
+
+def test_collapse_and_lowpass():
+    rng = np.random.default_rng(8)
+    f = rng.normal(size=(40, 50)).astype(np.float32)
+    wp, hp = collapse_v_h(jnp.asarray(f))
+    np.testing.assert_allclose(np.asarray(wp), f.sum(0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(hp), f.sum(1), rtol=1e-5)
+    s = rng.normal(size=(40, 50)).astype(np.float32)
+    out = time_lowpass(jnp.asarray(s), jnp.asarray(f), 0.75)
+    np.testing.assert_allclose(np.asarray(out), s * 0.75 + f * 0.25, rtol=1e-5)
+
+
+def test_find_best_fit_matches_oracle():
+    rng = np.random.default_rng(9)
+    for n, s in ((100, 7), (444, 22), (333, 166)):
+        data = rng.normal(size=n) ** 2
+        rfit, rid = oracles.find_best_fit(data, s)
+        fit, i = find_best_fit(jnp.asarray(data), jnp.sum(jnp.asarray(data)), s)
+        assert int(i) == rid, (n, s)
+        np.testing.assert_allclose(float(fit), rfit, rtol=1e-9)
+
+
+def test_sweetspot_matches_oracle():
+    rng = np.random.default_rng(10)
+    n = 222
+    # profile with a clear dark strip, like a blanking interval
+    data = rng.normal(size=n) ** 2 + 10.0
+    data[60:80] *= 0.1
+    st = SweetspotState(jnp.int32(16), jnp.int32(0), jnp.int32(0))
+    rss, rdx, rvx, _ = oracles.sweetspot(data.copy(), 16, 0, int(n * 0.05), 0.9)
+    st2, _, _ = find_the_sweet_spot(st, jnp.asarray(data), int(n * 0.05), 0.9)
+    assert int(st2.stripsize) == rss
+    assert int(st2.dx) == rdx
+    assert int(st2.vx) == rvx

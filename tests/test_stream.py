@@ -1,0 +1,214 @@
+"""End-to-end streaming tests on synthetic emanations with known ground
+truth (SURVEY.md §4 test-pyramid item (b); BASELINE.json configs 1-3 in
+miniature)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tempestsdr_tpu.config import PipelineConfig
+from tempestsdr_tpu.params import Params
+from tempestsdr_tpu.stream import make_step, init_state
+from tempestsdr_tpu.stream.pipeline import StepControls
+from tempestsdr_tpu.stream.session import Session, SessionCallbacks
+from tempestsdr_tpu.sources.synthetic import SyntheticSource, render_test_pattern, synth_iq
+from tempestsdr_tpu.estimate import AutoResolution
+
+
+LINES, TWIDTH, REFRESH, SR = 100, 200, 50.0, 1e6
+
+
+def run_blocks(cfg, params, n_blocks, raster=None, noise=0.01, refresh_true=None,
+               state=None, collect_frames=True):
+    step = jax.jit(make_step(cfg, params), donate_argnums=0)
+    if state is None:
+        state = init_state(cfg, params.fir_lowpass_taps)
+    if raster is None:
+        raster = render_test_pattern(LINES, TWIDTH)
+    pixclock = raster.shape[0] * raster.shape[1] * (refresh_true or cfg.refreshrate)
+    ctrl = StepControls.default()
+    frames, outs = [], []
+    pos = 0
+    for _ in range(n_blocks):
+        blk = synth_iq(raster, samplerate=cfg.samplerate, pixelclock=pixclock,
+                       n_samples=cfg.block_samples, start_sample=pos, noise=noise)
+        pos += cfg.block_samples
+        state, out = step(state, jnp.asarray(blk), ctrl)
+        outs.append(jax.tree.map(np.asarray, out._replace(frame=None)))
+        if collect_frames and bool(out.frame_valid):
+            frames.append(np.asarray(out.frame))
+    return state, frames, outs
+
+
+def expected_frame(cfg, raster):
+    """Ground truth: the raster box-resampled to the pipeline's pixel grid
+    (pixel p covers sample-time window [p/r,(p+1)/r))."""
+    pixclock = raster.shape[0] * raster.shape[1] * cfg.refreshrate
+    npix_display = raster.size
+    p = np.arange(cfg.frame_pixels)
+    # display pixel index at our pixel centers (2x oversampling -> each of
+    # our pixels is ~half a display pixel)
+    t = (p + 0.5) / cfg.pixelrate
+    disp = (np.floor(t * pixclock).astype(np.int64)) % npix_display
+    return raster.reshape(-1)[disp].reshape(cfg.height, cfg.width)
+
+
+def test_fixed_geometry_replay_recovers_raster():
+    """Config-1 analog: known geometry, assert the demodulated frame is the
+    raster (correlation > 0.98 after dropping the autogain transient)."""
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params(framerate_pll=False)
+    raster = render_test_pattern(LINES, TWIDTH)
+    state, frames, _ = run_blocks(cfg, params, 80, raster=raster, noise=0.005)
+    assert len(frames) >= 30
+    exp = expected_frame(cfg, raster)
+    f = frames[-1]
+    cc = np.corrcoef(f.ravel(), exp.ravel())[0, 1]
+    assert cc > 0.98, f"correlation {cc}"
+    # autogain keeps the usable range near [0,1]
+    assert np.percentile(f, 1) > -0.2 and np.percentile(f, 99) < 1.2
+
+
+def test_stream_state_is_deterministic():
+    """Same input -> bit-identical carry (the reference can't promise this
+    across thread schedules; the functional design can)."""
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params()
+    s1, f1, _ = run_blocks(cfg, params, 25)
+    s2, f2, _ = run_blocks(cfg, params, 25)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(f1[-1], f2[-1])
+
+
+def test_autocorr_estimates_mode():
+    """Config-2 analog: unknown display mode recovered from the
+    autocorrelation plots via the AutoResolution tracker."""
+    sr = 2e6
+    lines, twidth, refresh = 600, 111, 60.0
+    cfg = PipelineConfig(samplerate=sr, height=400, refreshrate=55.0,  # wrong guess
+                         block_samples=16384)
+    params = Params(framerate_pll=False)
+    raster = render_test_pattern(lines, twidth)
+    step = jax.jit(make_step(cfg, params), donate_argnums=0)
+    state = init_state(cfg)
+    tracker = AutoResolution(sr)
+    ctrl = StepControls.default()
+    pos = 0
+    est = None
+    pixclock = lines * twidth * refresh
+    for _ in range(60):
+        blk = synth_iq(raster, samplerate=sr, pixelclock=pixclock,
+                       n_samples=cfg.block_samples, start_sample=pos, noise=0.01)
+        pos += cfg.block_samples
+        state, out = step(state, jnp.asarray(blk), ctrl)
+        if bool(out.ac_plot_valid):
+            from tempestsdr_tpu.events import PLOT_ID, PlotEvent
+
+            f_off, _ = cfg.ac_frame_window
+            l_off, _ = cfg.ac_line_window
+            tracker.feed(PlotEvent(PLOT_ID.FRAME, f_off, np.asarray(out.ac_frame_plot), sr))
+            est = tracker.feed(PlotEvent(PLOT_ID.LINE, l_off, np.asarray(out.ac_line_plot), sr))
+            if est:
+                break
+    assert est is not None, "no convergence"
+    assert abs(est.refreshrate - refresh) < 0.5, est
+    assert abs(est.height - lines) <= 6, est
+
+
+def test_pll_pulls_refreshrate_toward_truth():
+    """Config-3 analog: generator runs at 50.02 Hz, pipeline configured at
+    50.00 with PLL on; the refresh delta must move toward +0.02."""
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params(framerate_pll=True)
+    state, frames, outs = run_blocks(cfg, params, 400, refresh_true=50.02,
+                                     noise=0.002, collect_frames=False)
+    delta = float(np.asarray(state.pll.refresh_delta))
+    assert delta > 0.001, f"PLL did not move toward truth: delta={delta}"
+    assert delta < 0.05, f"PLL overshot: delta={delta}"
+
+
+def test_manual_sync_shift_moves_image():
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params(framerate_pll=False)
+    raster = render_test_pattern(LINES, TWIDTH)
+    step = jax.jit(make_step(cfg, params), donate_argnums=0)
+    pixclock = LINES * TWIDTH * REFRESH
+
+    def run(shift_pixels):
+        state = init_state(cfg)
+        pos = 0
+        last = None
+        for b in range(60):
+            ctrl = StepControls(jnp.int64(0),
+                                jnp.int32(shift_pixels if b == 30 else 0),
+                                jnp.float32(0.0))
+            blk = synth_iq(raster, samplerate=SR, pixelclock=pixclock,
+                           n_samples=cfg.block_samples, start_sample=pos, noise=0.0)
+            pos += cfg.block_samples
+            state, out = step(state, jnp.asarray(blk), ctrl)
+            if bool(out.frame_valid):
+                last = np.asarray(out.frame)
+        return last
+
+    base = run(0)
+    shifted = run(cfg.width * 3)  # shift down 3 rows
+    rolled = np.roll(base, -3, axis=0)
+    # interior rows must match the rolled baseline
+    cc = np.corrcoef(shifted[5:-5].ravel(), rolled[5:-5].ravel())[0, 1]
+    assert cc > 0.99, cc
+
+
+def test_dropped_samples_realign_to_frames():
+    """Whole-frame drop policy (dsp.c:313-368): after a drop event the
+    raster must stay frame-aligned."""
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params(framerate_pll=False)
+    raster = render_test_pattern(LINES, TWIDTH)
+    step = jax.jit(make_step(cfg, params), donate_argnums=0)
+    pixclock = LINES * TWIDTH * REFRESH
+    state = init_state(cfg)
+    pos = 0
+    frames = []
+    dropped_at = 25
+    drop_n = 12345
+    for b in range(120):
+        dropped = 0
+        if b == dropped_at:
+            pos += drop_n  # the generator really skips these samples
+            dropped = drop_n
+        blk = synth_iq(raster, samplerate=SR, pixelclock=pixclock,
+                       n_samples=cfg.block_samples, start_sample=pos, noise=0.0)
+        pos += cfg.block_samples
+        ctrl = StepControls(jnp.int64(dropped), jnp.int32(0), jnp.float32(0.0))
+        state, out = step(state, jnp.asarray(blk), ctrl)
+        if bool(out.frame_valid):
+            frames.append(np.asarray(out.frame))
+    pre, post = frames[5], frames[-1]
+    cc = np.corrcoef(pre.ravel(), post.ravel())[0, 1]
+    assert cc > 0.95, f"raster lost alignment after drop: corr {cc}"
+
+
+def test_session_runs_and_checkpoints(tmp_path):
+    src = SyntheticSource()
+    src.init(f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    got = []
+    cb = SessionCallbacks(on_frame=lambda f: got.append(f))
+    sess = Session(cfg, Params(framerate_pll=False), src, cb)
+    n = sess.run(max_frames=5)
+    assert n == 5 and len(got) == 5
+    p = str(tmp_path / "state.npz")
+    sess.save_state(p)
+    before = jax.tree.leaves(sess.state)
+    sess.load_state(p)
+    after = jax.tree.leaves(sess.state)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
