@@ -1,0 +1,102 @@
+"""Benchmark: sustained IQ ingest rate of the full single-chip pipeline.
+
+Flagship config: 64 MS/s stream, 800x600@60 display (1056x628 VESA total
+geometry -> width derived from the sample rate), uint8 IQ, full pipeline
+(demod -> box resample -> fold -> sync/PLL/autogain post-process + FFT
+autocorrelation estimator). Blocks are pre-staged in HBM and processed with
+a lax.scan of K blocks per dispatch so host/relay dispatch latency is
+amortized away — the measured number is chip throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference's demonstrated real-time rate of
+25 MS/s on its fastest benchmarked host (Core i5 >40 fps at 25 MS/s,
+documentation/acs-dissertation.tex:907).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_MSPS = 25.0  # acs-dissertation.tex:907
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tempestsdr_tpu.config import PipelineConfig
+    from tempestsdr_tpu.params import Params
+    from tempestsdr_tpu.stream import make_step, init_state
+    from tempestsdr_tpu.stream.pipeline import StepControls
+
+    quick = "--quick" in sys.argv
+    samplerate = 64e6
+    block = 1 << 19
+    K = 8 if quick else 48  # blocks per dispatch
+    M = 2 if quick else 4  # timed dispatches
+
+    cfg = PipelineConfig(
+        samplerate=samplerate, height=628, refreshrate=60.0, block_samples=block
+    )
+    params = Params()
+    step = make_step(cfg, params)
+    ctrl = StepControls.default()
+
+    def body(state, raw):
+        state, out = step(state, raw, ctrl)
+        return state, (out.frame_valid, out.n_pixels)
+
+    @jax.jit
+    def run(state, raws):
+        return lax.scan(body, state, raws)
+
+    rng = np.random.default_rng(0)
+    raws = jnp.asarray(
+        rng.integers(0, 256, size=(K, 2 * block), dtype=np.uint8)
+    )
+    state = init_state(cfg)
+
+    t0 = time.monotonic()
+    state, (fv, npix) = run(state, raws)
+    # force a real host fetch — block_until_ready may be optimistic through
+    # the remote-TPU tunnel
+    frames = int(np.asarray(fv).sum())
+    compile_s = time.monotonic() - t0
+    print(f"# compile+first: {compile_s:.1f}s", file=sys.stderr)
+
+    t0 = time.monotonic()
+    fvs = []
+    for _ in range(M):
+        state, (fv, npix) = run(state, raws)
+        fvs.append(fv)
+    got = [int(np.asarray(f).sum()) for f in fvs]  # sync: full device fetch
+    frames += sum(got)
+    dt = time.monotonic() - t0
+
+    samples = M * K * block
+    msps = samples / dt / 1e6
+    fps = frames / (compile_s + dt)  # diagnostic only
+    print(
+        f"# {samples/1e6:.0f} Msamples in {dt:.2f}s -> {msps:.1f} MS/s; "
+        f"~{msps/samplerate*1e6:.2f}x real-time at 64 MS/s; {fps:.1f} frames/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "iq_ingest_rate_per_chip",
+                "value": round(msps, 2),
+                "unit": "Msamples/s",
+                "vs_baseline": round(msps / REFERENCE_MSPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -96,9 +96,11 @@ class TSDR:
             self._source.set_gain(gain)
 
     def set_motionblur(self, coeff: float) -> None:
-        if self._session is None:
-            raise TSDRError(TSDRStatus.NOT_RUNNING, "no active session")
-        self._session.set_motionblur(coeff)
+        if not 0.0 <= coeff <= 1.0:
+            raise TSDRError(TSDRStatus.WRONG_VIDEOPARAMS, "motionblur outside [0,1]")
+        self._motionblur = coeff
+        if self._session is not None:
+            self._session.set_motionblur(coeff)
 
     def sync(self, pixels: int, direction: int = DIRECTION.CUSTOM) -> None:
         if self._session is None:
@@ -136,6 +138,7 @@ class TSDR:
     def _rebuild_session(self, keep_state: bool = False) -> None:
         old = self._session
         self._session = Session(self._make_config(), self._params, self._source, self._callbacks)
+        self._session.set_motionblur(getattr(self, "_motionblur", 0.0))
         if keep_state and old is not None and jax_state_compatible(old.state, self._session.state):
             self._session.state = old.state
 

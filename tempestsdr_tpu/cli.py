@@ -1,0 +1,117 @@
+"""Command-line interface — headless counterpart of the reference's GUI
+controls (start/stop, resolution/rate, gain, motion blur, param toggles,
+snapshots — Main.java), driving the TSDR API over any registered source.
+
+Examples:
+  python -m tempestsdr_tpu.cli --source rawfile \\
+      --source-params "capture.bin 8000000 uint8" \\
+      --height 628 --rate 60 --frames 120 --out /tmp/frames --save-every 30
+  python -m tempestsdr_tpu.cli --source synthetic \\
+      --source-params "628 424 60 8000000 0.02" --height 628 --rate 60 \\
+      --frames 60 --auto-resolution
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from .api import TSDR
+from .estimate import AutoResolution
+from .events import PLOT_ID
+from .params import PARAM
+from .snapshot import save_frame
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tempestsdr-tpu", description=__doc__)
+    p.add_argument("--source", required=True, help="source name (rawfile, synthetic, ...)")
+    p.add_argument("--source-params", default="", help="opaque source parameter string")
+    p.add_argument("--height", type=int, default=628, help="total lines incl. blanking")
+    p.add_argument("--rate", type=float, default=60.0, help="refresh rate Hz")
+    p.add_argument("--freq", type=float, default=None, help="center frequency Hz")
+    p.add_argument("--gain", type=float, default=None, help="normalized gain 0..1")
+    p.add_argument("--motionblur", type=float, default=0.0)
+    p.add_argument("--frames", type=int, default=None, help="stop after N frames")
+    p.add_argument("--blocks", type=int, default=None, help="stop after N blocks")
+    p.add_argument("--block-samples", type=int, default=1 << 16)
+    p.add_argument("--out", default=None, help="directory for frame snapshots")
+    p.add_argument("--save-every", type=int, default=30, help="snapshot cadence (frames)")
+    p.add_argument("--format", default="pgm", choices=["pgm", "npy", "png"])
+    p.add_argument("--autoshift", action="store_true", help="auto-center via sync detection")
+    p.add_argument("--no-pll", action="store_true", help="disable the frame-rate PLL")
+    p.add_argument("--nearest", action="store_true", help="nearest-neighbour resampling")
+    p.add_argument("--no-autocorr", action="store_true", help="disable the estimator")
+    p.add_argument("--auto-resolution", action="store_true",
+                   help="detect (rate, height) from autocorrelation, then report")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    t0 = time.time()
+    n_frames = 0
+    tracker = None
+
+    def log(msg):
+        if not args.quiet:
+            print(f"[{time.time()-t0:7.2f}s] {msg}", flush=True)
+
+    def on_value(ev):
+        log(f"value {ev.value_id.name}: {ev.arg0:.6g} {ev.arg1:.6g}")
+
+    def on_plot(ev):
+        nonlocal tracker
+        if tracker is None:
+            return
+        est = tracker.feed(ev)
+        if est is not None:
+            mode = f" -> {est.mode.name}" if est.mode else ""
+            log(f"AUTO-RESOLUTION: {est.refreshrate:.2f} Hz, {est.height} lines{mode}")
+
+    rx = TSDR(on_value=on_value, on_plot=on_plot, block_samples=args.block_samples)
+    rx.load_source(args.source, args.source_params)
+    rx.set_resolution(args.height, args.rate)
+    if args.freq is not None:
+        rx.set_base_freq(args.freq)
+    if args.gain is not None:
+        rx.set_gain(args.gain)
+    rx.set_param(PARAM.AUTOSHIFT, int(args.autoshift))
+    rx.set_param(PARAM.FRAMERATE_PLL, int(not args.no_pll))
+    rx.set_param(PARAM.NEAREST_NEIGHBOUR_RESAMPLING, int(args.nearest))
+    rx.set_param(PARAM.AUTOCORR_PLOTS_OFF, int(args.no_autocorr))
+    rx.set_motionblur(args.motionblur)
+    if args.auto_resolution:
+        tracker = AutoResolution(rx._source.samplerate())
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+
+    def on_frame(f: np.ndarray):
+        nonlocal n_frames
+        n_frames += 1
+        if args.out and (n_frames % args.save_every == 0 or n_frames == 1):
+            path = os.path.join(args.out, f"frame_{n_frames:06d}.{args.format}")
+            save_frame(f, path)
+            log(f"frame {n_frames}: saved {path}")
+        elif n_frames % 30 == 0:
+            log(f"frame {n_frames}: range [{f.min():.3f}, {f.max():.3f}]")
+
+    try:
+        rx.start(on_frame=on_frame, max_frames=args.frames, max_blocks=args.blocks)
+    except KeyboardInterrupt:
+        rx.stop()
+    dt = time.time() - t0
+    log(f"done: {n_frames} frames in {dt:.1f}s ({n_frames/dt:.1f} fps)")
+    rx.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

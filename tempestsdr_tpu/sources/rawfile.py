@@ -36,7 +36,8 @@ _FORMATS = {
 
 @register_source("rawfile")
 class RawFileSource(Source):
-    def __init__(self, loop: bool = True, throttle: bool = False, time_stretch: float = 1.0):
+    def __init__(self, loop: bool = True, throttle: bool = False, time_stretch: float = 1.0,
+                 native: bool | None = None):
         self._loop = loop
         self._throttle = throttle
         self._stretch = time_stretch
@@ -45,6 +46,7 @@ class RawFileSource(Source):
         self._filename = None
         self._rate = 0.0
         self._dtype = None
+        self._native = native  # None = auto (use native runtime if it builds)
 
     def init(self, params: str) -> None:
         try:
@@ -72,6 +74,14 @@ class RawFileSource(Source):
     def stream(self, block_samples: int) -> Iterator[SourceBlock]:
         if self._dtype is None:
             raise TSDRError(TSDRStatus.PLUGIN_PARAMETERS_WRONG, "not initialized")
+        use_native = self._native
+        if use_native is None:
+            from .. import native as native_io
+
+            use_native = native_io.available()
+        if use_native:
+            yield from self._stream_native(block_samples)
+            return
         self._working = True
         values_per_block = 2 * block_samples
         block_seconds = block_samples / self._rate * self._stretch
@@ -104,6 +114,35 @@ class RawFileSource(Source):
                     if delay > 0:
                         time.sleep(delay)
                 yield SourceBlock(block, 0)
+
+    def _stream_native(self, block_samples: int) -> Iterator[SourceBlock]:
+        """Native path: C++ file-pump thread -> byte ring -> raw blocks.
+
+        Disk IO and real-time pacing run off the GIL (the reference's plugin
+        reader thread, TSDRPlugin_RawFile.c:219-271); ring overflow converts
+        to a samples_dropped report like a hardware source."""
+        from .. import native as native_io
+
+        self._working = True
+        itemsize = np.dtype(self._dtype).itemsize
+        block_bytes = 2 * block_samples * itemsize
+        ring = native_io.Ring(max(8 * block_bytes, 1 << 22))
+        bps = 0.0
+        if self._throttle:
+            bps = 2 * self._rate * itemsize / self._stretch
+        pump = native_io.FilePump(self._filename, block_bytes, ring,
+                                  loop=self._loop, bytes_per_sec=bps)
+        try:
+            while self._working:
+                buf = bytearray(block_bytes)
+                got = ring.read_into(memoryview(buf), blocking=True)
+                if got < block_bytes:
+                    break  # pump finished (non-loop EOF) or closed
+                dropped_bytes = ring.take_dropped()
+                arr = np.frombuffer(bytes(buf), dtype=self._dtype)
+                yield SourceBlock(arr, int(dropped_bytes // (2 * itemsize)))
+        finally:
+            pump.stop()
 
     def stop(self) -> None:
         self._working = False

@@ -1,0 +1,56 @@
+"""CLI + snapshot tests (headless GUI-equivalents)."""
+
+import os
+
+import numpy as np
+
+from tempestsdr_tpu import cli
+from tempestsdr_tpu.snapshot import frame_to_rgb, save_frame
+from tempestsdr_tpu.config import PIXEL_SPECIAL_VALUE_G
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    out = tmp_path / "frames"
+    rc = cli.main([
+        "--source", "synthetic",
+        "--source-params", "100 200 50 1000000 0.01",
+        "--height", "100", "--rate", "50",
+        "--block-samples", "8192",
+        "--frames", "8",
+        "--out", str(out), "--save-every", "4",
+        "--no-pll", "--no-autocorr",
+    ])
+    assert rc == 0
+    files = sorted(os.listdir(out))
+    assert files, "no snapshots written"
+    assert files[0].endswith(".pgm")
+    captured = capsys.readouterr().out
+    assert "done: 8 frames" in captured
+
+
+def test_cli_auto_resolution(capsys):
+    rc = cli.main([
+        "--source", "synthetic",
+        "--source-params", "600 111 60 2000000 0.01",
+        "--height", "400", "--rate", "55",
+        "--block-samples", "16384",
+        "--blocks", "60",
+        "--no-pll", "--auto-resolution", "--quiet",
+    ])
+    assert rc == 0
+
+
+def test_snapshot_formats(tmp_path):
+    frame = np.linspace(0, 1, 40 * 30, dtype=np.float32).reshape(40, 30)
+    frame[3, 3] = PIXEL_SPECIAL_VALUE_G
+    p = str(tmp_path / "f.pgm")
+    save_frame(frame, p)
+    with open(p, "rb") as f:
+        head = f.read(2)
+    assert head == b"P5"
+    pn = str(tmp_path / "f.npy")
+    save_frame(frame, pn)
+    np.testing.assert_array_equal(np.load(pn), frame)
+    rgb = frame_to_rgb(frame)
+    assert tuple(rgb[3, 3]) == (0, 255, 0)  # green marker
+    assert rgb[0, 0, 0] == rgb[0, 0, 1] == rgb[0, 0, 2]

@@ -1,0 +1,160 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh (SURVEY.md §4c):
+sharded pipelines must reproduce the single-chip stream."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tempestsdr_tpu.config import PipelineConfig
+from tempestsdr_tpu.params import Params
+from tempestsdr_tpu.stream import make_step, init_state
+from tempestsdr_tpu.stream.pipeline import StepControls
+from tempestsdr_tpu.parallel import (
+    make_mesh,
+    make_channel_step,
+    make_time_sharded_step,
+    stack_states,
+)
+from tempestsdr_tpu.sources.synthetic import render_test_pattern, synth_iq
+
+SR, LINES, TWIDTH, REFRESH = 1e6, 100, 200, 50.0
+
+
+def gen_blocks(n_blocks, block_samples, noise=0.01, seed=0, lines=LINES, twidth=TWIDTH):
+    raster = render_test_pattern(lines, twidth, seed=seed)
+    pixclock = lines * twidth * REFRESH
+    blocks = []
+    pos = 0
+    for _ in range(n_blocks):
+        blocks.append(
+            synth_iq(raster, samplerate=SR, pixelclock=pixclock,
+                     n_samples=block_samples, start_sample=pos, noise=noise, seed=seed)
+        )
+        pos += block_samples
+    return blocks
+
+
+def test_time_sharded_matches_single_chip():
+    """PLL off: the sharded stream must track the single-chip one to float
+    tolerance with bit-exact integer carries. (With the PLL on, one-ulp
+    reduction-order differences between the two XLA programs can flip the
+    argmax-derived sync position by +-1 and the feedback amplifies it — see
+    test_time_sharded_pll_behaviour.)"""
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=True)
+    params = Params(framerate_pll=False)
+    mesh = make_mesh(n_channel=1, n_time=8)
+
+    blocks = gen_blocks(40, cfg.block_samples)
+    ctrl = StepControls.default()
+
+    step1 = jax.jit(make_step(cfg, params))
+    stepT = make_time_sharded_step(cfg, params, mesh)
+
+    s1 = init_state(cfg)
+    sT = init_state(cfg)
+    for b, blk in enumerate(blocks):
+        raw = jnp.asarray(blk)
+        s1, o1 = step1(s1, raw, ctrl)
+        sT, oT = stepT(sT, raw, ctrl)
+        assert int(o1.n_pixels) == int(oT.n_pixels), b
+        assert bool(o1.frame_valid) == bool(oT.frame_valid), b
+        if bool(o1.frame_valid):
+            np.testing.assert_allclose(
+                np.asarray(o1.frame), np.asarray(oT.frame), rtol=2e-3, atol=2e-3
+            )
+    # exact integer carries must match bit-for-bit
+    assert int(s1.phase_fix) == int(sT.phase_fix)
+    assert int(s1.fill) == int(sT.fill)
+    assert int(s1.frame_count) == int(sT.frame_count)
+    assert int(s1.ac_calls) == int(sT.ac_calls)
+    np.testing.assert_allclose(
+        np.asarray(s1.ac_avg_frame), np.asarray(sT.ac_avg_frame), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_time_sharded_pll_behaviour():
+    """PLL on: both implementations must stay locked near the true rate even
+    though their trajectories are not bit-identical."""
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params(framerate_pll=True)
+    mesh = make_mesh(n_channel=1, n_time=8)
+    blocks = gen_blocks(40, cfg.block_samples)
+    ctrl = StepControls.default()
+    step1 = jax.jit(make_step(cfg, params))
+    stepT = make_time_sharded_step(cfg, params, mesh)
+    s1 = init_state(cfg)
+    sT = init_state(cfg)
+    for blk in blocks:
+        raw = jnp.asarray(blk)
+        s1, _ = step1(s1, raw, ctrl)
+        sT, _ = stepT(sT, raw, ctrl)
+    d1 = float(np.asarray(s1.pll.refresh_delta))
+    dT = float(np.asarray(sT.pll.refresh_delta))
+    # generator matches the nominal rate: deltas must stay tiny and agree
+    assert abs(d1) < 2e-3 and abs(dT) < 2e-3
+    assert abs(d1 - dT) < 2e-3
+
+
+def test_time_sharded_with_fir_matches_single_chip():
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params(framerate_pll=False, fir_lowpass_taps=31)
+    mesh = make_mesh(n_channel=1, n_time=4)
+    blocks = gen_blocks(20, cfg.block_samples)
+    ctrl = StepControls.default()
+    step1 = jax.jit(make_step(cfg, params))
+    stepT = make_time_sharded_step(cfg, params, mesh)
+    s1 = init_state(cfg, params.fir_lowpass_taps)
+    sT = init_state(cfg, params.fir_lowpass_taps)
+    last1 = lastT = None
+    for blk in blocks:
+        raw = jnp.asarray(blk)
+        s1, o1 = step1(s1, raw, ctrl)
+        sT, oT = stepT(sT, raw, ctrl)
+        if bool(o1.frame_valid):
+            last1, lastT = np.asarray(o1.frame), np.asarray(oT.frame)
+    assert last1 is not None
+    np.testing.assert_allclose(last1, lastT, rtol=2e-3, atol=2e-3)
+
+
+def test_channel_dp_matches_per_channel():
+    """8 channels sharded over 8 devices == 8 independent single-chip runs."""
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params(framerate_pll=False)
+    mesh = make_mesh(n_channel=8, n_time=1)
+    C = 8
+    n_blocks = 16
+
+    per_ch_blocks = [gen_blocks(n_blocks, cfg.block_samples, seed=c) for c in range(C)]
+
+    stepC = make_channel_step(cfg, params, mesh)
+    states = stack_states(cfg, C)
+    ctrl = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (C,) + x.shape),
+                        StepControls.default())
+    frames_dp = [None] * C
+    for b in range(n_blocks):
+        raws = jnp.stack([jnp.asarray(per_ch_blocks[c][b]) for c in range(C)])
+        states, outs = stepC(states, raws, ctrl)
+        fv = np.asarray(outs.frame_valid)
+        for c in range(C):
+            if fv[c]:
+                frames_dp[c] = np.asarray(outs.frame[c])
+
+    step1 = jax.jit(make_step(cfg, params))
+    for c in [0, 3, 7]:
+        s = init_state(cfg)
+        last = None
+        for b in range(n_blocks):
+            s, o = step1(s, jnp.asarray(per_ch_blocks[c][b]), StepControls.default())
+            if bool(o.frame_valid):
+                last = np.asarray(o.frame)
+        np.testing.assert_allclose(frames_dp[c], last, rtol=1e-4, atol=1e-5)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(n_channel=4, n_time=4)  # 16 > 8 devices

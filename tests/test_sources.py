@@ -1,0 +1,103 @@
+"""Source layer tests: RawFile replay (both the pure-Python and native C++
+paths), format handling, loop mode, ring-overflow drop accounting."""
+
+import numpy as np
+import pytest
+
+from tempestsdr_tpu.sources import RawFileSource, load_source
+from tempestsdr_tpu.errors import TSDRError
+
+
+@pytest.fixture(scope="module")
+def iq_file(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    path = tmp_path_factory.mktemp("iq") / "capture.bin"
+    data = rng.integers(0, 256, size=100_000, dtype=np.uint8)
+    path.write_bytes(data.tobytes())
+    return str(path), data
+
+
+def _collect(src, block_samples, n_blocks):
+    out = []
+    for blk in src.stream(block_samples):
+        out.append(blk)
+        if len(out) >= n_blocks:
+            src.stop()
+            break
+    return out
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_rawfile_replays_bytes_in_order(iq_file, native):
+    path, data = iq_file
+    if native:
+        from tempestsdr_tpu import native as native_io
+
+        if not native_io.available():
+            pytest.skip("no native toolchain")
+    src = RawFileSource(loop=True, native=native)
+    src.init(f"{path} 1000000 uint8")
+    assert src.samplerate() == 1e6
+    blocks = _collect(src, 4096, 13)
+    got = np.concatenate([b.samples for b in blocks])
+    expect = np.tile(data, 2)[: got.size]
+    np.testing.assert_array_equal(got, expect)
+    assert all(b.dropped == 0 for b in blocks)
+    assert got.dtype == np.uint8
+
+
+def test_rawfile_formats(tmp_path):
+    for fmt, dtype in [("float", np.float32), ("int8", np.int8), ("int16", np.int16),
+                       ("uint16", np.uint16)]:
+        p = tmp_path / f"f.{fmt}"
+        arr = (np.arange(64) % 17).astype(dtype)
+        p.write_bytes(arr.tobytes())
+        src = RawFileSource(loop=True, native=False)
+        src.init(f"{p} 8000 {fmt}")
+        blk = next(iter(src.stream(16)))
+        assert blk.samples.dtype == dtype
+        np.testing.assert_array_equal(blk.samples, arr[:32])
+        src.stop()
+
+
+def test_rawfile_bad_params():
+    src = RawFileSource()
+    with pytest.raises(TSDRError):
+        src.init("onlyname")
+    with pytest.raises(TSDRError):
+        src.init("name 1000 complex128")
+    with pytest.raises(TSDRError):
+        src.init("name -5 uint8")
+
+
+def test_rawfile_quoted_filename(tmp_path):
+    p = tmp_path / "my capture.bin"
+    p.write_bytes(np.zeros(1024, np.uint8).tobytes())
+    src = RawFileSource(native=False)
+    src.init(f'"{p}" 1000 uint8')
+    blk = next(iter(src.stream(128)))
+    assert blk.samples.size == 256
+    src.stop()
+
+
+def test_registry_loads_by_name(iq_file):
+    path, _ = iq_file
+    src = load_source("rawfile", f"{path} 2000000 uint8")
+    assert "RawFile" in src.name()
+    src.cleanup()
+
+
+def test_native_ring_drop_accounting():
+    from tempestsdr_tpu import native as native_io
+
+    if not native_io.available():
+        pytest.skip("no native toolchain")
+    ring = native_io.Ring(1024)
+    assert ring.write(b"a" * 512)
+    assert ring.write(b"b" * 512)
+    assert not ring.write(b"c" * 128)  # overflow -> dropped whole
+    assert ring.take_dropped() == 128
+    buf = bytearray(600)
+    got = ring.read_into(memoryview(buf))
+    assert got == 600 and bytes(buf[:512]) == b"a" * 512
+    ring.close()

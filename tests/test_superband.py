@@ -1,0 +1,73 @@
+"""Superbandwidth stitching tests (C10 / superbandwidth.c)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tempestsdr_tpu.superband import SuperBandwidth, best_alignment, stitch_hops
+
+
+def _mod_signal(n, seed=0, period=512):
+    """Frame-periodic AM signal with sharp envelope edges (like a raster) so
+    the derivative correlator has structure to lock onto."""
+    rng = np.random.default_rng(seed)
+    base = np.repeat(rng.random(max(period // 16, 1)) > 0.4, 16)[:period]
+    env = np.tile(base, n // period + 1)[:n].astype(np.float32)
+    env = 0.4 + 0.6 * env
+    ph = 2 * np.pi * 0.05 * np.arange(n)
+    return (env * np.exp(1j * ph)).astype(np.complex64)
+
+
+def test_best_alignment_recovers_shift():
+    n = 4096
+    ref = _mod_signal(n)
+    for true_lag in (0, 37, 513, 1200):
+        other = np.roll(ref, true_lag)
+        lag = int(best_alignment(jnp.asarray(ref), jnp.asarray(other)))
+        # periodic signal: any lag congruent mod the frame period aligns
+        assert lag % 512 == true_lag % 512, (true_lag, lag)
+        realigned = np.roll(other, -lag)
+        np.testing.assert_allclose(np.abs(realigned), np.abs(ref), atol=1e-5)
+
+
+def test_stitch_identical_hops_reproduces_upsampled_spectrum():
+    """If all hops record the same (already aligned) band, the stitched
+    stream's first-quarter spectrum must equal the hop spectrum."""
+    n = 2048
+    sig = _mod_signal(n, seed=1)
+    hops = jnp.asarray(np.stack([sig] * 4))
+    out = np.asarray(stitch_hops(hops))
+    assert out.shape == (4 * n,)
+    spec_out = np.fft.fft(out) / (4 * n)
+    spec_in = np.fft.fft(sig) / n
+    np.testing.assert_allclose(spec_out[:n], spec_in, rtol=1e-3, atol=1e-5)
+
+
+def test_state_machine_hops_and_retunes():
+    retunes = []
+    sb = SuperBandwidth(samplerate=100_000, refreshrate=50.0,
+                        retune=retunes.append, hops=4)
+    assert sb.samples_to_gather == 10 * 2000
+    block = 4096
+    sig = _mod_signal(200_000, seed=2)
+    out = None
+    pos = 0
+    for _ in range(2000):
+        iq = sig[np.arange(block) % len(sig)]
+        pos += block
+        out = sb.feed(iq)
+        if out is not None:
+            break
+    assert out is not None, "never produced stitched output"
+    assert out.shape == (4 * sb.n,)
+    # reference tuning sequence: (i - hops/2) * sr for i=1..3, then back to 0
+    assert retunes == [-100_000.0, 0.0, 100_000.0, 0.0]
+    assert sb.output_samplerate == 400_000
+
+
+def test_drop_purges_current_hop():
+    sb = SuperBandwidth(samplerate=50_000, refreshrate=50.0, hops=2)
+    iq = _mod_signal(4096, seed=3)
+    sb.feed(iq)
+    assert sb._gathered == 4096
+    sb.feed(iq, dropped=100)
+    assert sb._gathered == 0
