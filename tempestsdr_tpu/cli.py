@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-autocorr", action="store_true", help="disable the estimator")
     p.add_argument("--auto-resolution", action="store_true",
                    help="detect (rate, height) from autocorrelation, then report")
+    p.add_argument("--auto-apply", action="store_true",
+                   help="with --auto-resolution: apply the detected mode and "
+                        "restart streaming at it (GUI AUT behaviour, "
+                        "Main.java:1259-1262)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -66,14 +70,19 @@ def main(argv=None) -> int:
     def on_value(ev):
         log(f"value {ev.value_id.name}: {ev.arg0:.6g} {ev.arg1:.6g}")
 
+    detected = {"est": None}
+
     def on_plot(ev):
         nonlocal tracker
         if tracker is None:
             return
         est = tracker.feed(ev)
-        if est is not None:
+        if est is not None and detected["est"] is None:
+            detected["est"] = est
             mode = f" -> {est.mode.name}" if est.mode else ""
             log(f"AUTO-RESOLUTION: {est.refreshrate:.2f} Hz, {est.height} lines{mode}")
+            if args.auto_apply:
+                rx.stop()
 
     rx = TSDR(on_value=on_value, on_plot=on_plot, block_samples=args.block_samples)
     rx.load_source(args.source, args.source_params)
@@ -105,6 +114,14 @@ def main(argv=None) -> int:
 
     try:
         rx.start(on_frame=on_frame, max_frames=args.frames, max_blocks=args.blocks)
+        if args.auto_apply and detected["est"] is not None:
+            est = detected["est"]
+            height, rate = est.height, est.refreshrate
+            if est.mode is not None:
+                height, rate = est.mode.height, est.mode.refreshrate
+            log(f"applying detected mode: {height} lines @ {rate:g} Hz")
+            rx.set_resolution(height, rate)
+            rx.start(on_frame=on_frame, max_frames=args.frames, max_blocks=args.blocks)
     except KeyboardInterrupt:
         rx.stop()
     dt = time.time() - t0

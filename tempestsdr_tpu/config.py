@@ -56,6 +56,9 @@ class PipelineConfig:
     refreshrate: float  # nominal refresh rate, Hz (PLL delta is traced)
     block_samples: int = 1 << 16  # IQ samples per streaming step
     autocorr: bool = True  # build the estimator path
+    high_precision_sync: bool = True  # f64 frame collapse (reference parity);
+    # False = f32 accumulate, avoiding the one megapixel-scale emulated-f64
+    # op on TPU (profiles still widen to f64 downstream)
 
     def __post_init__(self):
         if self.height <= 0 or self.refreshrate <= 0:

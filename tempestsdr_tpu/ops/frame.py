@@ -66,11 +66,17 @@ def autogain_run(frame: jnp.ndarray, lastmin, lastmax, norm: float = 0.1):
     return out.astype(jnp.float32), lastmin2, lastmax2, snr
 
 
-def collapse_v_h(frame: jnp.ndarray):
+def collapse_v_h(frame: jnp.ndarray, precise: bool = True):
     """Column and row sums of an (H, W) frame (dsp.c:96-110).
 
-    Returns (width_profile f64[W], height_profile f64[H]).
+    Returns (width_profile f64[W], height_profile f64[H]). `precise=True`
+    accumulates in f64 like the reference's double loop — right for CPU
+    parity tests, but f64 is software-emulated on TPU and this is the only
+    many-megapixel f64 op in the pipeline; `precise=False` accumulates in
+    f32 (XLA tree reduction) and widens the ~4k-element profiles afterwards,
+    which is well within the sync detector's strip-contrast tolerance.
     """
-    wprof = jnp.sum(frame, axis=0, dtype=jnp.float64)
-    hprof = jnp.sum(frame, axis=1, dtype=jnp.float64)
+    dt = jnp.float64 if precise else jnp.float32
+    wprof = jnp.sum(frame, axis=0, dtype=dt).astype(jnp.float64)
+    hprof = jnp.sum(frame, axis=1, dtype=dt).astype(jnp.float64)
     return wprof, hprof

@@ -38,7 +38,7 @@ from ..config import (
 )
 from ..params import Params
 from ..ops.demod import am_demod, normalize_iq
-from ..ops.resample import box_resample_block, nn_resample_block
+from ..ops.resample import box_resample_block_chunked, nn_resample_block
 from ..ops.fir import design_lowpass_fir, fir_apply_block
 from ..ops.frame import autogain_run, collapse_v_h, time_lowpass
 from ..ops.sync import (
@@ -98,7 +98,7 @@ def _post_process(config: PipelineConfig, params: Params, frame2d, screen, ag, s
 
     if params.lowpass_before_sync:
         screen = time_lowpass(screen, inp, motionblur)
-        wprof, hprof = collapse_v_h(screen)
+        wprof, hprof = collapse_v_h(screen, config.high_precision_sync)
         syncres, sync_x, sync_y, pll = _sync_detect(
             config, params, screen, sync_x, sync_y, pll, wprof, hprof
         )
@@ -108,7 +108,7 @@ def _post_process(config: PipelineConfig, params: Params, frame2d, screen, ag, s
         else:
             result = syncres
     else:
-        wprof, hprof = collapse_v_h(inp)
+        wprof, hprof = collapse_v_h(inp, config.high_precision_sync)
         syncres, sync_x, sync_y, pll = _sync_detect(
             config, params, inp, sync_x, sync_y, pll, wprof, hprof
         )
@@ -216,8 +216,14 @@ def make_step(config: PipelineConfig, params: Params):
                 env, phase, inv_fix, n_samples=n, max_pix=max_pix
             )
         else:
-            pixels, n_out, phase2 = box_resample_block(
-                x_ext, phase, inv_fix, n_samples=n, max_pix=max_pix, taps=taps
+            pixels, n_out, phase2 = box_resample_block_chunked(
+                x_ext,
+                phase,
+                inv_fix,
+                n_samples=n,
+                max_pix=max_pix,
+                taps=taps,
+                inv_nominal=config.samples_per_pixel,
             )
         new_tail = x_ext[x_ext.shape[0] - taps :]
 

@@ -141,6 +141,37 @@ def test_box_resample_exact_integer_rates(rate):
         tail = x_ext[x_ext.shape[0] - taps:]
 
 
+@pytest.mark.parametrize("rate", [1.987654321, 1.512345677, 0.731234567, 0.314159265, 3.214159265])
+def test_box_resample_chunked_matches_exact(rate):
+    """The TPU-fast chunked resampler must match the exact int64 version to
+    f32 tolerance with bit-identical integer carries."""
+    import jax
+    from tempestsdr_tpu.ops import box_resample_block_chunked
+
+    rng = np.random.default_rng(12)
+    n_samples = 1000
+    inv = 1.0 / rate
+    inv_fix = jnp.int64(round(inv * (1 << FRAC_BITS)))
+    taps = int(np.ceil(inv)) + 1
+    max_pix = int(n_samples * rate) + 2
+    f_exact = jax.jit(lambda xe, ph: box_resample_block(
+        xe, ph, inv_fix, n_samples=n_samples, max_pix=max_pix, taps=taps))
+    f_chunk = jax.jit(lambda xe, ph: box_resample_block_chunked(
+        xe, ph, inv_fix, n_samples=n_samples, max_pix=max_pix, taps=taps,
+        inv_nominal=inv))
+    phase_e = phase_c = jnp.int64(0)
+    tail = jnp.zeros(taps, jnp.float32)
+    for _ in range(5):
+        x = rng.normal(size=n_samples).astype(np.float32)
+        x_ext = jnp.concatenate([tail, jnp.asarray(x)])
+        pe, ne, phase_e = f_exact(x_ext, phase_e)
+        pc, nc, phase_c = f_chunk(x_ext, phase_c)
+        assert int(ne) == int(nc)
+        assert int(phase_e) == int(phase_c)
+        np.testing.assert_allclose(np.asarray(pc), np.asarray(pe), rtol=3e-4, atol=3e-4)
+        tail = x_ext[x_ext.shape[0] - taps:]
+
+
 @pytest.mark.parametrize("rate", [2.0, 1.912345678, 0.712345678])
 def test_nn_resample_matches_oracle(rate):
     rng = np.random.default_rng(5)

@@ -1,0 +1,187 @@
+"""Output parity against the *actual reference C library*: build
+TSDRLibrary + the RawFile plugin from /root/reference, replay the same
+synthetic capture through both pipelines, and diff the frames
+(BASELINE north star: "match the reference library's frames on the same
+recorded IQ file within its SNR bound").
+
+The capture file must be a whole number of the reference plugin's 512Ki-value
+read chunks: at EOF the reference rewinds but still converts-and-pushes the
+*incomplete* chunk, so a non-chunk-aligned file injects stale garbage samples
+every loop pass (TSDRPlugin_RawFile.c:219-245 — the refill loop breaks on
+rewind and the conversion runs over the full buffer). Our RawFileSource wraps
+byte-exactly instead; with a chunk-aligned file both see identical streams."""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+# Modest rate + slowed replay: the reference pipeline must run *drop-free*
+# for a deterministic comparison, and on this VM it cannot sustain 8 MS/s
+# real-time (its rings overflow with frame-aligned drops, perturbing the
+# autogain trajectory). 2 MS/s at TIME_STRETCH=4 gives it 4x headroom.
+SR = 2_000_000
+HEIGHT = 600
+REFRESH = 60.0
+# Note on parameter choice: the reference resampler mis-emits one stale pixel
+# whenever a pixel boundary lands exactly on a decimation-buffer end
+# (dsp.c:288-303; its per-round pixel count is 0.1*W*H, integer whenever
+# W*H % 10 == 0 AND samplerate/refresh is integer — then EVERY round hits the
+# bug and the stale pixels drag its autogain min/max). sr/refresh here is
+# fractional so the carried phase drifts and exact alignment never occurs.
+TIME_STRETCH = 4
+# The reference's loop-at-EOF is lossy either way (non-aligned files get
+# stale padding; exactly-aligned files get one duplicated chunk), so size the
+# file to cover the whole comparison window in a single pass:
+# 28 x 512Ki-value chunks = 7,340,032 samples = 183 frames > 44 compared.
+FILE_SAMPLES = 28 * 262_144
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF) or shutil.which("gcc") is None,
+    reason="reference source or gcc unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_build(tmp_path_factory):
+    d = tmp_path_factory.mktemp("refbuild")
+    src = d / "src"
+    shutil.copytree(os.path.join(REF, "TempestSDR", "src"), src)
+    core = [
+        "TSDRLibrary.c", "TSDRPluginLoader.c", "threading.c", "circbuff.c",
+        "syncdetector.c", "frameratedetector.c", "gaussian.c", "extbuffer.c",
+        "superbandwidth.c", "fft.c", "dsp.c",
+    ]
+    subprocess.run(
+        ["gcc", "-O2", "-fPIC", "-shared", "-o", str(d / "libTSDRLibrary.so")]
+        + [str(src / c) for c in core]
+        + ["-I", str(src / "include"), "-lpthread", "-ldl", "-lm"],
+        check=True, capture_output=True,
+    )
+    plug_src = d / "plug"
+    plug_src.mkdir()
+    for f in ("TSDRPlugin_RawFile.c", "timer.c", "timer.h"):
+        shutil.copy(os.path.join(REF, "TSDRPlugin_RawFile", "src", f), plug_src)
+    psrc = plug_src / "TSDRPlugin_RawFile.c"
+    psrc.write_text(
+        psrc.read_text().replace(
+            "#define TIME_STRETCH (1)", f"#define TIME_STRETCH ({TIME_STRETCH})"
+        )
+    )
+    subprocess.run(
+        ["gcc", "-O2", "-fPIC", "-shared", "-o", str(d / "TSDRPlugin_RawFile.so"),
+         str(plug_src / "TSDRPlugin_RawFile.c"), str(plug_src / "timer.c"),
+         "-I", str(plug_src), "-I", str(src / "include"), "-I", str(src),
+         "-lpthread", "-lm"],
+        check=True, capture_output=True,
+    )
+    harness = os.path.join(os.path.dirname(__file__), "..", "bench", "ref_harness.c")
+    subprocess.run(
+        ["gcc", "-O2", "-o", str(d / "ref_harness"), harness,
+         "-I", str(src / "include"),
+         str(d / "libTSDRLibrary.so"), "-lpthread", "-ldl", "-lm",
+         f"-Wl,-rpath,{d}"],
+        check=True, capture_output=True,
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def capture(tmp_path_factory):
+    from tempestsdr_tpu.sources.synthetic import render_test_pattern, synth_iq
+
+    d = tmp_path_factory.mktemp("cap")
+    path = d / "cap.bin"
+    lines, twidth = HEIGHT, 133
+    raster = render_test_pattern(lines, twidth)
+    iq = synth_iq(raster, samplerate=SR, pixelclock=lines * twidth * REFRESH,
+                  n_samples=FILE_SAMPLES, noise=0.01, dtype=np.uint8)
+    iq.tofile(path)
+    return str(path)
+
+
+def read_ref_frames(path):
+    frames = []
+    with open(path, "rb") as f:
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            w, h = np.frombuffer(hdr, np.int32)
+            data = np.frombuffer(f.read(4 * w * h), np.float32)
+            frames.append(data.reshape(h, w))
+    return frames
+
+
+def test_frames_match_reference(ref_build, capture):
+    """Every reference output frame must equal (up to its autogain scaling) a
+    frame our pipeline produced from the same input.
+
+    The reference's runtime on this VM chronically drops *whole frames*
+    (its decimation->postproc ring caps at ~one frame of capacity, so the
+    consumer races the producer; drops are frame-aligned by its compensation
+    logic — verified by instrumentation). That keeps the raster aligned but
+    makes its frame numbering and autogain IIR trajectory nondeterministic.
+    So: compare zero-mean/unit-std normalized frames (removes the autogain
+    affine difference) and let each reference frame match the best of a small
+    window of our continuous stream (absorbs its dropped frames)."""
+    n_ref = 8
+    skip = 36  # past the autogain convergence transient
+    out = ref_build / "frames.bin"
+    r = subprocess.run(
+        [str(ref_build / "ref_harness"), str(ref_build / "TSDRPlugin_RawFile.so"),
+         f"{capture} {SR} uint8", str(HEIGHT), str(REFRESH), str(out),
+         str(n_ref), str(skip)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    ref_frames = read_ref_frames(out)
+    assert len(ref_frames) == n_ref
+    rh, rw = ref_frames[0].shape
+
+    # --- our pipeline on the identical stream
+    from tempestsdr_tpu.config import PipelineConfig
+    from tempestsdr_tpu.params import Params
+    from tempestsdr_tpu.stream import make_step, init_state
+    from tempestsdr_tpu.stream.pipeline import StepControls
+    from tempestsdr_tpu.sources.rawfile import RawFileSource
+
+    cfg = PipelineConfig(samplerate=SR, height=HEIGHT, refreshrate=REFRESH,
+                         block_samples=1 << 14, autocorr=False)
+    assert (cfg.height, cfg.width) == (rh, rw), "geometry derivation differs"
+    params = Params(framerate_pll=False, autocorr_plots_off=True)
+    step = jax.jit(make_step(cfg, params), donate_argnums=0)
+    state = init_state(cfg)
+    src = RawFileSource(loop=True, native=False)
+    src.init(f"{capture} {SR} uint8")
+    ctrl = StepControls.default()
+    ours = []
+    seen = 0
+    max_ours = skip + n_ref + 80  # window covering the reference's drops
+    for blk in src.stream(cfg.block_samples):
+        state, o = step(state, jnp.asarray(blk.samples), ctrl)
+        if bool(o.frame_valid):
+            seen += 1
+            if seen > skip // 2:
+                ours.append(np.asarray(o.frame))
+            if seen >= max_ours:
+                src.stop()
+                break
+
+    def norm(x):
+        x = x - x.mean()
+        return x / (x.std() + 1e-12)
+
+    for k, b in enumerate(ref_frames):
+        # mask the reference's green sync crosshair (drawn into the data when
+        # autoshift is off — syncdetector.c:209-218)
+        mask = (b < 250.0) & (b > -250.0)
+        assert mask.mean() > 0.97  # one marker row + column
+        bn = norm(b[mask])
+        best = max(float(np.dot(norm(a[mask]), bn) / bn.size) for a in ours)
+        assert best > 0.99, f"ref frame {k}: best normalized corr {best}"
