@@ -116,7 +116,9 @@ class TSDR:
                 self._session.reset_autocorr()
             return
         if p == PARAM.AUTOCORR_DUMP:
-            return  # dumps handled via Session-level plot capture
+            if self._session is not None:
+                self._session.dump_autocorr()
+            return
         new = self._params.with_int_param(p, value)
         if new != self._params:
             self._params = new
@@ -128,8 +130,15 @@ class TSDR:
     def _make_config(self) -> PipelineConfig:
         if self._source is None:
             raise TSDRError(TSDRStatus.ERR_PLUGIN, "no source loaded")
+        rate = self._source.samplerate()
+        if self._params.superresolution:
+            from .superband import SUPER_HOPS_TO_MAKE
+
+            # the stitched stream re-enters the pipeline at HOPS x the
+            # native rate (superbandwidth.c:151 set_internal_samplerate)
+            rate *= SUPER_HOPS_TO_MAKE
         return PipelineConfig(
-            samplerate=self._source.samplerate(),
+            samplerate=rate,
             height=self._height,
             refreshrate=self._refreshrate,
             block_samples=self._block_samples,

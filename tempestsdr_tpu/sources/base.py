@@ -43,6 +43,11 @@ class Source(abc.ABC):
     def set_basefreq(self, freq: float) -> None:
         pass  # file/synthetic sources have no tuner
 
+    def set_freq_offset(self, offset_hz: float) -> None:
+        """Relative retune around the current base frequency — the
+        superbandwidth hop control's shiftfreq (TSDRLibrary.c:208-211).
+        Tuner-backed sources override; file/synthetic sources ignore."""
+
     def set_gain(self, gain: float) -> None:
         pass
 

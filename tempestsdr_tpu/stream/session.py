@@ -30,6 +30,23 @@ from .state import StreamState, init_state, reset_autocorr
 AUTOGAIN_REPORT_EVERY_FRAMES = 5  # dsp.c:20
 
 
+def _normalize_host(raw: np.ndarray) -> np.ndarray:
+    """Host-side mirror of ops.demod.normalize_iq (TSDRPlugin_RawFile.c
+    scale factors) for the superbandwidth gather path."""
+    dt = raw.dtype
+    if dt == np.float32:
+        return raw
+    if dt == np.int8:
+        return raw.astype(np.float32) / 128.0
+    if dt == np.uint8:
+        return (raw.astype(np.float32) - 128.0) / 128.0
+    if dt == np.int16:
+        return raw.astype(np.float32) / 32767.0
+    if dt == np.uint16:
+        return (raw.astype(np.float32) - 32767.0) / 32767.0
+    raise TypeError(f"unsupported IQ dtype {dt}")
+
+
 @dataclass
 class SessionCallbacks:
     on_frame: Optional[Callable[[np.ndarray], None]] = None
@@ -60,6 +77,7 @@ class Session:
         self._thread: Optional[threading.Thread] = None
         self._agruns = 0
         self._last_refresh = None
+        self._last_plots: list = []
 
     # ---- interactive control surface (tsdr_* API equivalents) ----
 
@@ -100,6 +118,25 @@ class Session:
         """PARAM_AUTOCORR_PLOTS_RESET equivalent."""
         self._pending_ac_reset = True
 
+    def dump_autocorr(self, path: str = "autocorr.csv") -> bool:
+        """PARAM_AUTOCORR_DUMP equivalent: write the accumulated
+        autocorrelation to CSV as "ms, dB" rows (dump_autocorrect,
+        frameratedetector.c:64-85). Dumps the frame-rate and line-rate lag
+        windows the estimator accumulates (the reference dumps the full raw
+        lag range; the windows are the analyzed subset). Returns False if no
+        estimation round has completed yet."""
+        if not self._last_plots:
+            return False
+        with open(path, "w") as f:
+            f.write("ms, dB\n")
+            for ev in self._last_plots:
+                t = (ev.offset + np.arange(len(ev.values))) / ev.samplerate * 1000.0
+                db = 10.0 * np.log10(np.maximum(np.abs(ev.values), 1e-30))
+                for ti, di in zip(t, db):
+                    f.write(f"{ti:f}, {di:f}\n")
+        self._emit_value(ValueEvent(VALUE_ID.AUTOCORRECT_DUMPED, 0, 0))
+        return True
+
     def set_basefreq(self, freq: float) -> None:
         """tsdr_setbasefreq (TSDRLibrary.c:195-205): retune + flush the
         cached autocorrelation estimate."""
@@ -130,6 +167,8 @@ class Session:
 
     def run(self, max_blocks: Optional[int] = None, max_frames: Optional[int] = None):
         """Synchronous loop (blocking like tsdr_readasync, TSDRLibrary.c:515)."""
+        if self.params.superresolution:
+            return self._run_superres(max_blocks, max_frames)
         self._running = True
         blocks = 0
         frames = 0
@@ -159,6 +198,67 @@ class Session:
                 self.callbacks.on_exception(e)
             else:
                 raise
+        finally:
+            self._running = False
+            self.source.stop()
+            if self.callbacks.on_stopped:
+                self.callbacks.on_stopped()
+        return frames
+
+    def _run_superres(self, max_blocks: Optional[int], max_frames: Optional[int]):
+        """Superbandwidth mode (PARAM_AUTOCORR_SUPERRESOLUTION): gather
+        frequency hops from the source at native rate, stitch them into a
+        HOPS-x-rate stream, and feed that through the pipeline — the
+        reference's superb_run -> am_demod path (TSDRLibrary.c:271-278).
+
+        The Session's config must already be built for hops*native rate
+        (api.TSDR does this when the param is set)."""
+        from ..superband import SuperBandwidth
+        from ..ops.demod import normalize_iq  # constants mirrored below
+
+        sb = SuperBandwidth(
+            self.source.samplerate(),
+            self.config.refreshrate,
+            retune=getattr(self.source, "set_freq_offset", lambda off: None),
+        )
+        if abs(self.config.samplerate - sb.output_samplerate) > 1:
+            raise TSDRError(
+                TSDRStatus.WRONG_VIDEOPARAMS,
+                f"superresolution config needs samplerate {sb.output_samplerate}",
+            )
+        self._running = True
+        blocks = 0
+        frames = 0
+        n = self.config.block_samples
+        carry = np.empty(0, np.complex64)
+        try:
+            # hop gathering happens at the source's native block size
+            for blk in self.source.stream(n):
+                if not self._running:
+                    break
+                raw = np.asarray(blk.samples)
+                f = _normalize_host(raw)
+                iq = (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+                out = sb.feed(iq, blk.dropped)
+                if out is None:
+                    continue
+                carry = np.concatenate([carry, out]) if carry.size else out
+                while carry.size >= n and self._running:
+                    chunk, carry = carry[:n], carry[n:]
+                    inter = np.empty(2 * n, np.float32)
+                    inter[0::2] = chunk.real
+                    inter[1::2] = chunk.imag
+                    controls = StepControls(
+                        jnp.int64(0), jnp.int32(self._pending_sync), jnp.float32(self._motionblur)
+                    )
+                    self._pending_sync = 0
+                    self.state, o = self._step(self.state, jnp.asarray(inter), controls)
+                    blocks += 1
+                    frames += self._dispatch(o)
+                    if max_blocks is not None and blocks >= max_blocks:
+                        self._running = False
+                    if max_frames is not None and frames >= max_frames:
+                        self._running = False
         finally:
             self._running = False
             self.source.stop()
@@ -207,16 +307,18 @@ class Session:
                     ValueEvent(VALUE_ID.AUTOGAIN_VALUES, float(out.ag_min), float(out.ag_max))
                 )
                 self._emit_value(ValueEvent(VALUE_ID.SNR, float(out.ag_snr), 0))
-        if bool(out.ac_plot_valid) and self.callbacks.on_plot:
+        if bool(out.ac_plot_valid):
             sr = self.config.samplerate
             f_off, _ = self.config.ac_frame_window
             l_off, _ = self.config.ac_line_window
-            self.callbacks.on_plot(
-                PlotEvent(PLOT_ID.FRAME, f_off, np.asarray(out.ac_frame_plot), sr)
-            )
-            self.callbacks.on_plot(
-                PlotEvent(PLOT_ID.LINE, l_off, np.asarray(out.ac_line_plot), sr)
-            )
+            plots = [
+                PlotEvent(PLOT_ID.FRAME, f_off, np.asarray(out.ac_frame_plot), sr),
+                PlotEvent(PLOT_ID.LINE, l_off, np.asarray(out.ac_line_plot), sr),
+            ]
+            self._last_plots = plots
+            if self.callbacks.on_plot:
+                for p in plots:
+                    self.callbacks.on_plot(p)
             self._emit_value(
                 ValueEvent(VALUE_ID.AUTOCORRECT_FRAMES_COUNT, 0, int(out.ac_calls))
             )

@@ -55,10 +55,11 @@ def best_alignment(ref_iq: jnp.ndarray, other_iq: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def stitch_hops(hops: jnp.ndarray) -> jnp.ndarray:
-    """hops: complex64[HOPS, n] (n a power of two), hop 0 the reference.
-    Returns complex64[HOPS*n] — the stitched stream at HOPS x rate
-    (superb_ondataready, superbandwidth.c:121-152)."""
+def _stitch_ri(hops_re: jnp.ndarray, hops_im: jnp.ndarray):
+    """Real/imag-plane form: complex64 host<->device transfers are not
+    implemented on some TPU runtimes (axon), but complex *intermediates*
+    inside jit are fine — so the complex view is formed on device."""
+    hops = hops_re.astype(jnp.complex64) + 1j * hops_im.astype(jnp.complex64)
     nhops, n = hops.shape
     ref = hops[0]
 
@@ -69,7 +70,19 @@ def stitch_hops(hops: jnp.ndarray) -> jnp.ndarray:
     aligned = jnp.concatenate([ref[None], jax.vmap(align)(hops[1:])], axis=0)
     spectra = jnp.fft.fft(aligned, axis=1) / n  # reference forward scaling 1/N
     wide = spectra.reshape(nhops * n)
-    return jnp.fft.ifft(wide) * (nhops * n)  # reference inverse: unnormalized
+    out = jnp.fft.ifft(wide) * (nhops * n)  # reference inverse: unnormalized
+    return out.real.astype(jnp.float32), out.imag.astype(jnp.float32)
+
+
+def stitch_hops(hops) -> np.ndarray:
+    """hops: complex[HOPS, n] (n a power of two), hop 0 the reference.
+    Returns complex64[HOPS*n] — the stitched stream at HOPS x rate
+    (superb_ondataready, superbandwidth.c:121-152)."""
+    hops = np.asarray(hops)
+    re, im = _stitch_ri(
+        jnp.asarray(hops.real, jnp.float32), jnp.asarray(hops.imag, jnp.float32)
+    )
+    return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
 
 
 class SuperBandwidth:
@@ -132,5 +145,4 @@ class SuperBandwidth:
         # cycle complete
         self._hop = 0
         self.retune(0.0)
-        out = np.asarray(stitch_hops(jnp.asarray(self._bufs[:, : self.n])))
-        return out
+        return stitch_hops(self._bufs[:, : self.n])

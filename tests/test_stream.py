@@ -195,6 +195,25 @@ def test_dropped_samples_realign_to_frames():
     assert cc > 0.95, f"raster lost alignment after drop: corr {cc}"
 
 
+def test_session_autocorr_dump(tmp_path):
+    """DMP equivalent: CSV dump in the reference's "ms, dB" format
+    (frameratedetector.c:64-85)."""
+    src = SyntheticSource()
+    src.init(f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192)
+    sess = Session(cfg, Params(framerate_pll=False), src, SessionCallbacks())
+    assert not sess.dump_autocorr(str(tmp_path / "early.csv"))  # no round yet
+    sess.run(max_blocks=16)  # > ac_round/block blocks -> at least one round
+    p = str(tmp_path / "ac.csv")
+    assert sess.dump_autocorr(p)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "ms, dB"
+    assert len(lines) > 100
+    t0, db0 = map(float, lines[1].split(","))
+    assert t0 > 0 and np.isfinite(db0)
+
+
 def test_session_runs_and_checkpoints(tmp_path):
     src = SyntheticSource()
     src.init(f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")

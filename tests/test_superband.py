@@ -64,6 +64,29 @@ def test_state_machine_hops_and_retunes():
     assert sb.output_samplerate == 400_000
 
 
+def test_session_superresolution_end_to_end():
+    """PARAM_AUTOCORR_SUPERRESOLUTION: hops gathered from the source,
+    stitched to 4x rate, streamed through a 4x-rate pipeline."""
+    from tempestsdr_tpu.config import PipelineConfig
+    from tempestsdr_tpu.params import Params
+    from tempestsdr_tpu.stream.session import Session, SessionCallbacks
+    from tempestsdr_tpu.sources.synthetic import SyntheticSource
+
+    sr = 250_000
+    src = SyntheticSource()
+    src.init(f"60 40 50 {sr} 0.01")  # 60x40 raster @50Hz
+    params = Params(superresolution=True, framerate_pll=False)
+    cfg = PipelineConfig(samplerate=4 * sr, height=60, refreshrate=50.0,
+                         block_samples=4096, autocorr=False)
+    frames = []
+    sess = Session(cfg, params, src, SessionCallbacks(on_frame=frames.append))
+    n = sess.run(max_frames=3)
+    assert n == 3 and len(frames) == 3
+    f = frames[-1]
+    assert f.shape == (cfg.height, cfg.width)
+    assert np.isfinite(f).all()
+
+
 def test_drop_purges_current_hop():
     sb = SuperBandwidth(samplerate=50_000, refreshrate=50.0, hops=2)
     iq = _mod_signal(4096, seed=3)
