@@ -35,10 +35,16 @@ def main():
     from tempestsdr_tpu.stream.pipeline import StepControls
 
     quick = "--quick" in sys.argv
+    channels = 0
+    for i, a in enumerate(sys.argv):
+        if a == "--channels" and i + 1 < len(sys.argv):
+            channels = int(sys.argv[i + 1])
     samplerate = 64e6
     block = 1 << 19
     K = 8 if quick else 48  # blocks per dispatch
     M = 2 if quick else 4  # timed dispatches
+    if channels:
+        return bench_channels(channels, quick)
 
     cfg = PipelineConfig(
         samplerate=samplerate, height=628, refreshrate=60.0, block_samples=block
@@ -96,6 +102,65 @@ def main():
             }
         )
     )
+
+
+def bench_channels(n_channels: int, quick: bool):
+    """Config-5 single-chip variant: n independent IQ channels vmapped on one
+    chip; reports aggregate ingest. (Cross-chip channel scaling runs the same
+    code over a {ch} mesh — see parallel/channels.py and dryrun_multichip.)"""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tempestsdr_tpu.config import PipelineConfig
+    from tempestsdr_tpu.params import Params
+    from tempestsdr_tpu.stream import make_step
+    from tempestsdr_tpu.parallel.channels import stack_states
+    from tempestsdr_tpu.stream.pipeline import StepControls
+
+    samplerate = 16e6
+    block = 1 << 17
+    K = 4 if quick else 16
+    M = 2 if quick else 4
+    cfg = PipelineConfig(samplerate=samplerate, height=628, refreshrate=60.0,
+                         block_samples=block)
+    step = jax.vmap(make_step(cfg, Params()))
+
+    def body(state, raw):
+        state, out = step(state, raw,
+                          jax.tree.map(lambda x: jnp.broadcast_to(x[None], (n_channels,) + x.shape),
+                                       StepControls.default()))
+        return state, out.frame_valid
+
+    @jax.jit
+    def run(state, raws):
+        return lax.scan(body, state, raws)
+
+    rng = np.random.default_rng(0)
+    raws = jnp.asarray(
+        rng.integers(0, 256, size=(K, n_channels, 2 * block), dtype=np.uint8)
+    )
+    state = stack_states(cfg, n_channels)
+    t0 = time.monotonic()
+    state, fv = run(state, raws)
+    frames = int(np.asarray(fv).sum())
+    print(f"# channels compile+first: {time.monotonic()-t0:.1f}s", file=sys.stderr)
+    t0 = time.monotonic()
+    fvs = []
+    for _ in range(M):
+        state, fv = run(state, raws)
+        fvs.append(fv)
+    frames += sum(int(np.asarray(f).sum()) for f in fvs)
+    dt = time.monotonic() - t0
+    msps = M * K * block * n_channels / dt / 1e6
+    print(f"# {n_channels} channels at {samplerate/1e6:.0f} MS/s each: aggregate "
+          f"{msps:.1f} MS/s ({msps/n_channels:.1f}/ch); {frames} frames", file=sys.stderr)
+    print(json.dumps({
+        "metric": "aggregate_ingest_rate_multichannel",
+        "value": round(msps, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / REFERENCE_MSPS, 3),
+    }))
 
 
 if __name__ == "__main__":

@@ -62,6 +62,7 @@ def load():
             ctypes.c_int,
             ctypes.c_double,
             ctypes.c_void_p,
+            ctypes.c_long,
         ]
         lib.tsdr_filepump_stop.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -110,11 +111,13 @@ class FilePump:
     """Background file reader feeding a Ring (native RawFile reader thread)."""
 
     def __init__(self, path: str, chunk_bytes: int, ring: Ring,
-                 loop: bool = True, bytes_per_sec: float = 0.0):
+                 loop: bool = True, bytes_per_sec: float = 0.0,
+                 start_offset: int = 0):
         self._lib = load()
         self._ring = ring
         self._h = self._lib.tsdr_filepump_start(
-            path.encode(), chunk_bytes, int(loop), float(bytes_per_sec), ring._h
+            path.encode(), chunk_bytes, int(loop), float(bytes_per_sec), ring._h,
+            int(start_offset)
         )
 
     def stop(self) -> None:

@@ -110,6 +110,7 @@ struct FilePump {
   size_t chunk;
   bool loop;
   double bytes_per_sec;  // 0 = unthrottled (PERFORMANCE_BENCHMARK mode)
+  long start_offset = 0;  // e.g. skip a WAV header
   std::atomic<bool> running{true};
   std::thread th;
 
@@ -119,6 +120,7 @@ struct FilePump {
       ring->close();
       return;
     }
+    if (start_offset) std::fseek(f, start_offset, SEEK_SET);
     std::vector<uint8_t> tmp(chunk);
     auto deadline = std::chrono::steady_clock::now();
     while (running.load(std::memory_order_relaxed)) {
@@ -128,7 +130,7 @@ struct FilePump {
           if (got) ring->push(tmp.data(), got, true);
           break;
         }
-        std::rewind(f);
+        std::fseek(f, start_offset, SEEK_SET);
         size_t more = std::fread(tmp.data() + got, 1, chunk - got, f);
         got += more;
         if (got < chunk) break;  // file smaller than a chunk
@@ -168,9 +170,9 @@ uint64_t tsdr_ring_take_dropped(void* r) {
 void tsdr_ring_close(void* r) { static_cast<Ring*>(r)->close(); }
 
 void* tsdr_filepump_start(const char* path, size_t chunk_bytes, int loop,
-                          double bytes_per_sec, void* ring) {
+                          double bytes_per_sec, void* ring, long start_offset) {
   auto* p = new FilePump{static_cast<Ring*>(ring), path, chunk_bytes,
-                         loop != 0, bytes_per_sec};
+                         loop != 0, bytes_per_sec, start_offset};
   p->th = std::thread([p] { p->run(); });
   return p;
 }

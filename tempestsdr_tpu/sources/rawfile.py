@@ -34,6 +34,29 @@ _FORMATS = {
 }
 
 
+def sniff_wav(path: str):
+    """Detect a WAV recording and extract (samplerate, format) — the GUI's
+    file-chooser autodetection (TSDRFileSource.java:43-85: RIFF/WAVE/fmt
+    magic, sample rate from the fmt chunk, 8/16 bits -> int8/int16).
+    Returns (samplerate, fmt_name, data_offset) or None."""
+    try:
+        with open(path, "rb") as f:
+            hdr = f.read(44)
+        if len(hdr) < 44 or hdr[0:4] != b"RIFF" or hdr[8:12] != b"WAVE" or hdr[12:16] != b"fmt ":
+            return None
+        samplerate = int.from_bytes(hdr[24:28], "little")
+        bits = int.from_bytes(hdr[34:36], "little")
+        if bits == 8:
+            # 8-bit WAV is unsigned by spec; the reference maps it to int8
+            # (TSDRFileSource.java:65) — match its behavior
+            return samplerate, "int8", 44
+        if bits == 16:
+            return samplerate, "int16", 44
+        return None
+    except OSError:
+        return None
+
+
 @register_source("rawfile")
 class RawFileSource(Source):
     def __init__(self, loop: bool = True, throttle: bool = False, time_stretch: float = 1.0,
@@ -51,9 +74,19 @@ class RawFileSource(Source):
     def init(self, params: str) -> None:
         try:
             toks = shlex.split(params)
+            if len(toks) == 1:
+                # bare filename: WAV autodetection (TSDRFileSource.java:43-85)
+                wav = sniff_wav(toks[0])
+                if wav is None:
+                    raise ValueError
+                self._filename = toks[0]
+                self._rate, fmt, self._data_offset = float(wav[0]), wav[1], wav[2]
+                self._dtype = _FORMATS[fmt]
+                return
             if len(toks) != 3:
                 raise ValueError
             self._filename, rate_s, fmt = toks
+            self._data_offset = 0
             self._rate = float(rate_s)
             if self._rate <= 0:
                 raise ValueError
@@ -61,7 +94,8 @@ class RawFileSource(Source):
         except (ValueError, KeyError):
             self._err = (
                 "params should be: filename samplerate format "
-                "(format: float, int8, uint8, int16 or uint16)"
+                "(format: float, int8, uint8, int16 or uint16), or a single "
+                "WAV filename for autodetection"
             )
             raise TSDRError(TSDRStatus.PLUGIN_PARAMETERS_WRONG, self._err)
 
@@ -92,6 +126,9 @@ class RawFileSource(Source):
             self._err = str(e)
             raise TSDRError(TSDRStatus.PLUGIN_PARAMETERS_WRONG, f"cannot open file: {e}")
         with f:
+            offset = getattr(self, "_data_offset", 0)
+            if offset:
+                f.seek(offset)
             carry = np.empty((0,), self._dtype)
             while self._working:
                 need = values_per_block - len(carry)
@@ -99,7 +136,7 @@ class RawFileSource(Source):
                 if len(data) < need:
                     if not self._loop:
                         break
-                    f.seek(0)
+                    f.seek(offset)
                     data = np.concatenate(
                         [data, np.fromfile(f, dtype=self._dtype, count=need - len(data))]
                     )
@@ -131,7 +168,8 @@ class RawFileSource(Source):
         if self._throttle:
             bps = 2 * self._rate * itemsize / self._stretch
         pump = native_io.FilePump(self._filename, block_bytes, ring,
-                                  loop=self._loop, bytes_per_sec=bps)
+                                  loop=self._loop, bytes_per_sec=bps,
+                                  start_offset=getattr(self, "_data_offset", 0))
         try:
             while self._working:
                 buf = bytearray(block_bytes)

@@ -87,6 +87,35 @@ def test_registry_loads_by_name(iq_file):
     src.cleanup()
 
 
+@pytest.mark.parametrize("native", [False, True])
+def test_wav_autodetection(tmp_path, native):
+    """Bare-filename WAV init (TSDRFileSource.java:43-85): samplerate and
+    bit depth from the header, data starts past the 44-byte header."""
+    if native:
+        from tempestsdr_tpu import native as native_io
+
+        if not native_io.available():
+            pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    data = rng.integers(-32768, 32767, size=2000, dtype=np.int16)
+    sr = 2_048_000
+    hdr = (b"RIFF" + (36 + data.nbytes).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (2).to_bytes(2, "little") + sr.to_bytes(4, "little")
+           + (sr * 4).to_bytes(4, "little") + (4).to_bytes(2, "little")
+           + (16).to_bytes(2, "little")
+           + b"data" + data.nbytes.to_bytes(4, "little"))
+    p = tmp_path / "cap.wav"
+    p.write_bytes(hdr + data.tobytes())
+    src = RawFileSource(loop=True, native=native)
+    src.init(str(p))
+    assert src.samplerate() == sr
+    blk = next(iter(src.stream(500)))
+    assert blk.samples.dtype == np.int16
+    np.testing.assert_array_equal(blk.samples, data[:1000])
+    src.stop()
+
+
 def test_native_ring_drop_accounting():
     from tempestsdr_tpu import native as native_io
 
