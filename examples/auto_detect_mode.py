@@ -1,0 +1,44 @@
+"""Unknown display mode: estimate (refresh, lines) from the autocorrelation
+plots, snap to the nearest VESA mode, then stream at it.
+
+usage: python examples/auto_detect_mode.py capture.bin 8000000 uint8
+"""
+
+import sys
+
+import tempestsdr_tpu as tsdr
+from tempestsdr_tpu.estimate import AutoResolution
+
+params = " ".join(sys.argv[1:4]) if len(sys.argv) >= 4 else sys.argv[1]
+
+rx = tsdr.TSDR()
+rx.load_source("rawfile", params)
+rx.set_resolution(600, 55.0)  # deliberately wrong initial guess
+
+tracker = AutoResolution(rx._source.samplerate())
+found = []
+
+
+def on_plot(ev):
+    est = tracker.feed(ev)
+    if est and not found:
+        found.append(est)
+        mode = est.mode.name if est.mode else "(no VESA match)"
+        print(f"detected: {est.refreshrate:.2f} Hz, {est.height} lines -> {mode}")
+        rx.stop()
+
+
+rx._callbacks.on_plot = on_plot
+rx.start(on_frame=lambda f: None, max_blocks=600)
+
+if found:
+    est = found[0]
+    height, rate = (est.mode.height, est.mode.refreshrate) if est.mode else (
+        est.height, est.refreshrate)
+    rx.set_resolution(height, rate)
+    frames = []
+    rx.start(on_frame=frames.append, max_frames=30)
+    print(f"streamed {len(frames)} frames at {height} lines @ {rate:g} Hz; "
+          f"last frame range [{frames[-1].min():.3f}, {frames[-1].max():.3f}]")
+else:
+    print("no convergence — capture too short or too noisy")

@@ -44,8 +44,10 @@ class TSDR:
         on_value: Optional[Callable[[ValueEvent], None]] = None,
         on_plot: Optional[Callable[[PlotEvent], None]] = None,
         block_samples: int = 1 << 16,
+        batch_blocks: int = 1,
     ):
         self._callbacks = SessionCallbacks(on_value=on_value, on_plot=on_plot)
+        self._batch_blocks = batch_blocks
         self._params = Params()
         self._source: Optional[Source] = None
         self._session: Optional[Session] = None
@@ -146,7 +148,8 @@ class TSDR:
 
     def _rebuild_session(self, keep_state: bool = False) -> None:
         old = self._session
-        self._session = Session(self._make_config(), self._params, self._source, self._callbacks)
+        self._session = Session(self._make_config(), self._params, self._source,
+                                self._callbacks, batch_blocks=self._batch_blocks)
         self._session.set_motionblur(getattr(self, "_motionblur", 0.0))
         if keep_state and old is not None and jax_state_compatible(old.state, self._session.state):
             self._session.state = old.state

@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=None, help="stop after N frames")
     p.add_argument("--blocks", type=int, default=None, help="stop after N blocks")
     p.add_argument("--block-samples", type=int, default=1 << 16)
+    p.add_argument("--batch-blocks", type=int, default=1,
+                   help="blocks per device dispatch (amortizes dispatch "
+                        "latency; adds control latency)")
     p.add_argument("--out", default=None, help="directory for frame snapshots")
     p.add_argument("--save-every", type=int, default=30, help="snapshot cadence (frames)")
     p.add_argument("--format", default="pgm", choices=["pgm", "npy", "png"])
@@ -84,7 +87,8 @@ def main(argv=None) -> int:
             if args.auto_apply:
                 rx.stop()
 
-    rx = TSDR(on_value=on_value, on_plot=on_plot, block_samples=args.block_samples)
+    rx = TSDR(on_value=on_value, on_plot=on_plot, block_samples=args.block_samples,
+              batch_blocks=args.batch_blocks)
     rx.load_source(args.source, args.source_params)
     rx.set_resolution(args.height, args.rate)
     if args.freq is not None:

@@ -153,6 +153,61 @@ def box_resample_block_chunked(
     return jnp.where(valid, pixels, 0.0).astype(jnp.float32), n_out, new_phase
 
 
+def box_resample_gather_i32(
+    x_ext,
+    phase_fix,
+    inv_fix,
+    *,
+    n_samples: int,
+    max_pix: int,
+    taps: int,
+    inv_nominal: float,
+    chunk: int = 256,
+):
+    """Gather-form variant: like box_resample_block_chunked but it gathers
+    the `taps` samples each pixel touches with int32 indices (per-pixel
+    coordinates from the chunked f32 decomposition, so no per-pixel int64).
+
+    Measured on TPU v5e this LOSES to the dense windowed form (14.6 vs 4.5
+    ms per 524k-sample block at taps=2): XLA's generic gather moves ~1
+    element/cycle, while the dense overlap-weight reduce rides the VPU. Kept
+    as the memory-lean option for very large downsampling factors (dense
+    window cost grows with chunk*inv) and as the measurement record. Same
+    contract and carries."""
+    n_out, new_phase = resample_counts(phase_fix, inv_fix, n_samples)
+
+    inv_f = inv_fix.astype(jnp.float32) * jnp.float32(2.0 ** (-FRAC_BITS))
+    rate_f = jnp.float32(1 << FRAC_BITS) / inv_fix.astype(jnp.float32)
+
+    n_chunks = -(-max_pix // chunk)
+    c = jnp.arange(n_chunks, dtype=jnp.int64)
+    base = phase_fix + (c * chunk) * inv_fix
+    start = (base >> FRAC_BITS).astype(jnp.int32)
+    frac = (base - (start.astype(jnp.int64) << FRAC_BITS)).astype(jnp.float32) * jnp.float32(
+        2.0 ** (-FRAC_BITS)
+    )
+
+    r = jnp.arange(chunk, dtype=jnp.float32)
+    pos = frac[:, None] + r[None, :] * inv_f  # (n_chunks, chunk) relative to start
+    i_loc = jnp.floor(pos).astype(jnp.int32)
+    # global sample index of each pixel's first tap, offset into x_ext
+    idx0 = start[:, None] + i_loc + taps
+    sub = pos - i_loc.astype(jnp.float32)  # in [0, 1)
+
+    acc = jnp.zeros((n_chunks, chunk), jnp.float32)
+    limit = x_ext.shape[0] - 1
+    for t in range(taps):
+        # overlap of [pos, pos+inv) with sample [i0+t, i0+t+1), in sample units
+        lo = jnp.maximum(sub, jnp.float32(t))
+        hi = jnp.minimum(sub + inv_f, jnp.float32(t + 1))
+        w = jnp.maximum(hi - lo, 0.0)
+        g = jnp.take(x_ext, jnp.clip(idx0 + t, 0, limit))
+        acc = acc + w * g
+    out = (acc * rate_f).reshape(n_chunks * chunk)[:max_pix]
+    valid = jnp.arange(max_pix, dtype=jnp.int32) < n_out
+    return jnp.where(valid, out, 0.0).astype(jnp.float32), n_out, new_phase
+
+
 def box_resample_range(
     x_local,
     phase_fix,

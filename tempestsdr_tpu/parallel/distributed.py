@@ -1,0 +1,60 @@
+"""Multi-host bring-up (SURVEY.md §5.8 TPU equivalent).
+
+The reference is strictly single-process; its "communication backend" is
+in-process rings. Here cross-host scaling is jax.distributed + a global mesh:
+each host feeds the channels whose devices it owns (config 5), or its time
+shards of a wideband stream (config 4); collectives ride ICI within a slice
+and DCN across hosts.
+
+This module only wires the bring-up; the step builders in .channels /
+.timeshard are mesh-agnostic and work unchanged on a multi-host mesh.
+Cannot be exercised in a single-host environment — validated structurally by
+dryrun_multichip on a virtual device mesh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def init_distributed(coordinator: str, num_processes: int, process_id: int) -> None:
+    """jax.distributed bring-up; call before any backend use on every host.
+
+    coordinator: "host:port" of process 0.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_global_mesh(n_channel: int, n_time: int) -> Mesh:
+    """Mesh over ALL processes' devices. Device order follows
+    jax.devices(), which groups by process — so with n_channel >= number of
+    hosts, each host's channels stay on its local chips and only the 'time'
+    halos/psum leave the host."""
+    devices = jax.devices()
+    need = n_channel * n_time
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices across hosts, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_channel, n_time)
+    return Mesh(arr, ("ch", "time"))
+
+
+def local_channel_slice(mesh: Mesh, n_channels_global: int) -> slice:
+    """Which global channel indices this host should feed: channels are
+    block-distributed over the 'ch' axis in mesh order; a host feeds the
+    channels whose row-devices are local (addressable)."""
+    ch_rows = mesh.devices.shape[0]
+    per_row = n_channels_global // ch_rows
+    local_rows = [
+        r
+        for r in range(ch_rows)
+        if any(d.process_index == jax.process_index() for d in mesh.devices[r])
+    ]
+    if not local_rows:
+        return slice(0, 0)
+    return slice(min(local_rows) * per_row, (max(local_rows) + 1) * per_row)

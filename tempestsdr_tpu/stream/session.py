@@ -63,12 +63,33 @@ class Session:
         params: Params,
         source: Source,
         callbacks: SessionCallbacks | None = None,
+        batch_blocks: int = 1,
     ):
+        """batch_blocks > 1 scans that many blocks per device dispatch —
+        amortizes host/dispatch latency (essential through remote-TPU
+        tunnels, useful everywhere at high sample rates) at the cost of
+        batch_blocks x block latency for interactive controls."""
         self.config = config
         self.params = params
         self.source = source
         self.callbacks = callbacks or SessionCallbacks()
+        self.batch_blocks = max(int(batch_blocks), 1)
         self._step = jax.jit(make_step(config, params), donate_argnums=0)
+        if self.batch_blocks > 1:
+            from jax import lax
+
+            inner = make_step(config, params)
+
+            # dropped/syncoffset are one-shot events: they ride as per-block
+            # arrays (value in slot 0 only) so a scan doesn't re-apply them
+            def scan_steps(state, raws, dropped_arr, sync_arr, motionblur):
+                def body(st, xs):
+                    raw, dr, sy = xs
+                    return inner(st, raw, StepControls(dr, sy, motionblur))
+
+                return lax.scan(body, state, (raws, dropped_arr, sync_arr))
+
+            self._scan = jax.jit(scan_steps, donate_argnums=0)
         self.state: StreamState = init_state(config, params.fir_lowpass_taps)
         self._pending_sync = 0
         self._motionblur = 0.0
@@ -78,6 +99,9 @@ class Session:
         self._agruns = 0
         self._last_refresh = None
         self._last_plots: list = []
+        from ..utils.profiling import IngestMeter
+
+        self.meter = IngestMeter()
 
     # ---- interactive control surface (tsdr_* API equivalents) ----
 
@@ -172,6 +196,8 @@ class Session:
         self._running = True
         blocks = 0
         frames = 0
+        pending_raws: list = []
+        pending_dropped = 0
         try:
             for blk in self.source.stream(self.config.block_samples):
                 if not self._running:
@@ -180,15 +206,43 @@ class Session:
                     self.state = reset_autocorr(self.state)
                     self._pending_ac_reset = False
                     self._emit_value(ValueEvent(VALUE_ID.AUTOCORRECT_RESET, 0, 0))
-                controls = StepControls(
-                    jnp.int64(blk.dropped),
-                    jnp.int32(self._pending_sync),
-                    jnp.float32(self._motionblur),
-                )
-                self._pending_sync = 0
-                self.state, out = self._step(self.state, jnp.asarray(blk.samples), controls)
-                blocks += 1
-                frames += self._dispatch(out)
+                if self.batch_blocks > 1:
+                    pending_raws.append(np.asarray(blk.samples))
+                    pending_dropped += blk.dropped
+                    if len(pending_raws) < self.batch_blocks:
+                        continue
+                    k = self.batch_blocks
+                    dropped_arr = np.zeros(k, np.int64)
+                    dropped_arr[0] = pending_dropped
+                    sync_arr = np.zeros(k, np.int32)
+                    sync_arr[0] = self._pending_sync
+                    self._pending_sync = 0
+                    raws = jnp.asarray(np.stack(pending_raws))
+                    pending_raws = []
+                    pending_dropped = 0
+                    self.state, outs = self._scan(
+                        self.state, raws, jnp.asarray(dropped_arr),
+                        jnp.asarray(sync_arr), jnp.float32(self._motionblur)
+                    )
+                    outs_host = jax.tree.map(np.asarray, outs)
+                    for i in range(self.batch_blocks):
+                        out = jax.tree.map(lambda x: x[i], outs_host)
+                        blocks += 1
+                        got = self._dispatch(out)
+                        frames += got
+                        self.meter.update(self.config.block_samples, got)
+                else:
+                    controls = StepControls(
+                        jnp.int64(blk.dropped),
+                        jnp.int32(self._pending_sync),
+                        jnp.float32(self._motionblur),
+                    )
+                    self._pending_sync = 0
+                    self.state, out = self._step(self.state, jnp.asarray(blk.samples), controls)
+                    blocks += 1
+                    got = self._dispatch(out)
+                    frames += got
+                    self.meter.update(self.config.block_samples, got)
                 if max_blocks is not None and blocks >= max_blocks:
                     break
                 if max_frames is not None and frames >= max_frames:

@@ -172,6 +172,26 @@ def test_box_resample_chunked_matches_exact(rate):
         tail = x_ext[x_ext.shape[0] - taps:]
 
 
+@pytest.mark.parametrize("rate", [1.99876, 1.5123, 0.71234])
+def test_box_resample_gather_variant_matches(rate):
+    from tempestsdr_tpu.ops.resample import box_resample_gather_i32
+
+    rng = np.random.default_rng(13)
+    n = 4096
+    inv = 1.0 / rate
+    inv_fix = jnp.int64(round(inv * (1 << FRAC_BITS)))
+    taps = int(np.ceil(inv)) + 1
+    max_pix = int(n * rate) + 2
+    x = jnp.asarray(np.concatenate([np.zeros(taps), rng.normal(size=n)]).astype(np.float32))
+    kw = dict(n_samples=n, max_pix=max_pix, taps=taps, inv_nominal=inv)
+    from tempestsdr_tpu.ops import box_resample_block_chunked
+
+    p1, n1, ph1 = box_resample_block_chunked(x, jnp.int64(-12345), inv_fix, **kw)
+    p2, n2, ph2 = box_resample_gather_i32(x, jnp.int64(-12345), inv_fix, **kw)
+    assert int(n1) == int(n2) and int(ph1) == int(ph2)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=3e-4, atol=3e-4)
+
+
 @pytest.mark.parametrize("rate", [2.0, 1.912345678, 0.712345678])
 def test_nn_resample_matches_oracle(rate):
     rng = np.random.default_rng(5)

@@ -195,6 +195,29 @@ def test_dropped_samples_realign_to_frames():
     assert cc > 0.95, f"raster lost alignment after drop: corr {cc}"
 
 
+def test_session_batched_matches_unbatched():
+    """batch_blocks scans k blocks per dispatch; frames must match the
+    per-block path exactly (one-shot controls applied once)."""
+    def run(batch):
+        src = SyntheticSource()
+        src.init(f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")
+        cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                             block_samples=8192, autocorr=False)
+        frames = []
+        sess = Session(cfg, Params(framerate_pll=False), src,
+                       SessionCallbacks(on_frame=frames.append),
+                       batch_blocks=batch)
+        sess.sync_shift(37)  # one-shot control: must apply exactly once
+        sess.run(max_blocks=24)
+        return frames
+
+    f1 = run(1)
+    f4 = run(4)
+    assert len(f1) == len(f4) and len(f1) >= 6
+    for a, b in zip(f1, f4):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_session_autocorr_dump(tmp_path):
     """DMP equivalent: CSV dump in the reference's "ms, dB" format
     (frameratedetector.c:64-85)."""
