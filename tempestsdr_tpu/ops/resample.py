@@ -122,8 +122,12 @@ def box_resample_block_chunked(
     inv_f = inv_fix.astype(jnp.float32) * jnp.float32(2.0 ** (-FRAC_BITS))
     rate_f = jnp.float32(1 << FRAC_BITS) / inv_fix.astype(jnp.float32)
 
+    G = 32  # gather granularity: whole aligned rows of G samples move ~10x
+    # faster than element gathers on TPU (measured 0.4 vs 4.3 ms/block)
     n_chunks = -(-max_pix // chunk)
     w_in = int(np.ceil(chunk * inv_nominal * 1.02)) + taps + 2
+    w_rows = -(-(w_in + G - 1) // G) + 1
+    w_pad = w_rows * G
 
     # exact per-chunk base coordinate (int64 on n_chunks elements only)
     c = jnp.arange(n_chunks, dtype=jnp.int64)
@@ -133,16 +137,23 @@ def box_resample_block_chunked(
         2.0 ** (-FRAC_BITS)
     )
 
-    # one contiguous window per chunk (padded so valid chunks never clip)
-    x_pad = jnp.concatenate([x_ext, jnp.zeros((w_in,), x_ext.dtype)])
-    idx0 = jnp.clip(start + taps, 0, x_pad.shape[0] - w_in)
-    win = x_pad[idx0[:, None] + jnp.arange(w_in, dtype=jnp.int32)[None, :]]
+    # G-aligned row gather: one padded window per chunk; the sub-row
+    # misalignment folds into the f32 position ramp
+    n_rows = -(-(x_ext.shape[0] + w_pad) // G)
+    x2 = jnp.concatenate(
+        [x_ext, jnp.zeros((n_rows * G - x_ext.shape[0],), x_ext.dtype)]
+    ).reshape(n_rows, G)
+    target = start + taps
+    row0 = jnp.clip(target // G, 0, n_rows - w_rows)
+    win = x2[row0[:, None] + jnp.arange(w_rows, dtype=jnp.int32)[None, :], :].reshape(
+        n_chunks, w_pad
+    )
+    misalign = (target - row0 * G).astype(jnp.float32)
 
-    # f32 per-pixel positions relative to the window start sample
+    # f32 per-pixel positions relative to the (aligned) window start sample
     r = jnp.arange(chunk, dtype=jnp.float32)
-    pos = frac[:, None] + r[None, :] * inv_f  # (n_chunks, chunk)
-    pos = pos + (start + taps - idx0).astype(jnp.float32)[:, None]  # clip shift (invalid chunks)
-    j = jnp.arange(w_in, dtype=jnp.float32)
+    pos = (frac + misalign)[:, None] + r[None, :] * inv_f  # (n_chunks, chunk)
+    j = jnp.arange(w_pad, dtype=jnp.float32)
     lo = jnp.maximum(pos[:, :, None], j[None, None, :])
     hi = jnp.minimum(pos[:, :, None] + inv_f, j[None, None, :] + 1.0)
     w = jnp.maximum(hi - lo, 0.0)
@@ -206,6 +217,117 @@ def box_resample_gather_i32(
     out = (acc * rate_f).reshape(n_chunks * chunk)[:max_pix]
     valid = jnp.arange(max_pix, dtype=jnp.int32) < n_out
     return jnp.where(valid, out, 0.0).astype(jnp.float32), n_out, new_phase
+
+
+def plan_strided(inv_nominal: float, taps: int, *, L: int | None = None,
+                 pll_frac: float = 0.002, max_drift: float = 6.0):
+    """Feasibility plan for box_resample_strided.
+
+    The strided form needs m pixels to advance ~exactly one sample
+    (m = round(1/inv), |m*inv - 1| small) so sample indices become
+    q + {0..taps_eff} with *static* shifts. taps_eff absorbs both the
+    nominal drift over a chunk of L q-steps and PLL rate excursions up to
+    pll_frac (relative refresh-rate error). L is chosen as large as the
+    drift budget allows — longer chunks mean fewer window rows to
+    extract, which dominates the cost on TPU.
+
+    Returns (m, taps_eff, L) or None if the geometry doesn't fit (then use
+    the dense chunked form).
+    """
+    if inv_nominal <= 0 or inv_nominal > 1.0:
+        return None  # downsampling: dense form
+    m = max(int(round(1.0 / inv_nominal)), 1)
+    delta = m * inv_nominal - 1.0
+    delta_cap = abs(delta) + m * inv_nominal * pll_frac
+    if L is None:
+        L = int(min(max(max_drift / max(delta_cap, 1e-9), 256), 8192))
+        L = 1 << (L.bit_length() - 1)  # floor pow2
+    drift = L * delta_cap
+    if drift > max_drift or L < 256:
+        return None
+    margin = int(np.ceil(drift))  # drift can be negative (PLL below nominal)
+    taps_eff = taps + 1 + 2 * margin
+    return m, taps_eff, L, margin
+
+
+def box_resample_strided(
+    x_ext,
+    phase_fix,
+    inv_fix,
+    *,
+    n_samples: int,
+    max_pix: int,
+    taps: int,
+    inv_nominal: float,
+    L: int | None = None,
+):
+    """Fastest path for near-rational upsampling (the reference's standard
+    2x horizontal oversampling, pixelrate ~= 2*samplerate).
+
+    Decompose the pixel index p = (c*L + q)*m + b (m = pixels per sample
+    ~= round(1/inv)). Then pixel (c,q,b)'s window start lies in sample
+    q + [0, taps_eff) *relative to the chunk's window*, because m*inv ~= 1 —
+    so the per-pixel "gather" degenerates to taps_eff STATIC shifted slices
+    of one contiguous window per chunk, with exact overlap weights computed
+    from the f32 residual ramp. Same exact int64 carries as the other forms.
+
+    Work per pixel: ~taps_eff fused multiply-adds (vs w_in~70 for the dense
+    chunked form and a generic gather for the naive form), and only
+    max_pix/(m*L) window rows to extract.
+    """
+    plan = plan_strided(inv_nominal, taps, L=L)
+    if plan is None:
+        raise ValueError("geometry unsuitable for the strided form; use chunked")
+    m, taps_eff, L, margin = plan
+
+    n_out, new_phase = resample_counts(phase_fix, inv_fix, n_samples)
+    inv_f = inv_fix.astype(jnp.float32) * jnp.float32(2.0 ** (-FRAC_BITS))
+    rate_f = jnp.float32(1 << FRAC_BITS) / inv_fix.astype(jnp.float32)
+    # drift per q from the exact fixed-point difference (f32-ing m*inv-1
+    # directly would put the rounding error on 1.0 instead of on the tiny
+    # drift, costing ~5e-4 samples by chunk end)
+    delta_f = (m * inv_fix - (jnp.int64(1) << FRAC_BITS)).astype(jnp.float32) * jnp.float32(
+        2.0 ** (-FRAC_BITS)
+    )
+
+    pix_per_chunk = m * L
+    n_chunks = -(-max_pix // pix_per_chunk)
+    w = L + taps_eff + 2
+    # left pad of `margin` gives the anchor window room to start below the
+    # chunk base (negative PLL drift) without clipping; right pad bounds the
+    # final window (invalid chunks only — valid pixels never read it)
+    x_pad = jnp.concatenate(
+        [jnp.zeros((margin,), x_ext.dtype), x_ext, jnp.zeros((w,), x_ext.dtype)]
+    )
+
+    c = jnp.arange(n_chunks, dtype=jnp.int64)
+    base = phase_fix + (c * pix_per_chunk) * inv_fix
+    start = (base >> FRAC_BITS).astype(jnp.int32)
+    frac = (base - (start.astype(jnp.int64) << FRAC_BITS)).astype(jnp.float32) * jnp.float32(
+        2.0 ** (-FRAC_BITS)
+    ) + jnp.float32(margin)
+    # absolute sample s lives at x_pad[s + taps + margin]; the window anchors
+    # at absolute (start - margin) -> index start + taps; start >= -taps
+    # always (phase > -inv), and draining-drop chunks clamp at the top
+    idx0 = jnp.clip(start + taps, 0, x_pad.shape[0] - w)
+    frac = frac + (start + taps - idx0).astype(jnp.float32)
+
+    windows = x_pad[idx0[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]]
+
+    q = jnp.arange(L, dtype=jnp.float32)
+    b = jnp.arange(m, dtype=jnp.float32)
+    # rel(c, q, b): pixel window start relative to sample q of the chunk window
+    rel = frac[:, None, None] + q[None, :, None] * delta_f + b[None, None, :] * inv_f
+
+    acc = jnp.zeros((n_chunks, L, m), jnp.float32)
+    for t in range(taps_eff):
+        lo = jnp.maximum(rel, jnp.float32(t))
+        hi = jnp.minimum(rel + inv_f, jnp.float32(t + 1))
+        wt = jnp.maximum(hi - lo, 0.0)
+        acc = acc + wt * windows[:, t : t + L][:, :, None]
+    pixels = (acc * rate_f).reshape(n_chunks * pix_per_chunk)[:max_pix]
+    valid = jnp.arange(max_pix, dtype=jnp.int32) < n_out
+    return jnp.where(valid, pixels, 0.0).astype(jnp.float32), n_out, new_phase
 
 
 def box_resample_range(
