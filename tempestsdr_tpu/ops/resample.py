@@ -340,6 +340,7 @@ def box_resample_range(
     *,
     max_pix: int,
     taps: int,
+    inv_nominal: float,
 ):
     """Area-weighted resample of an arbitrary global pixel range — the
     time-sharded building block (BASELINE.json config 4).
@@ -352,26 +353,51 @@ def box_resample_range(
         sits at seg_offset - taps).
 
     Returns pixels f32[max_pix] (entries past p_end - p_start are zero).
+    Uses the same chunked f32/int32 + G-aligned row-gather structure as
+    box_resample_block_chunked (element gathers and per-pixel int64 are the
+    measured TPU killers), with the traced p_start folded into the exact
+    per-chunk int64 base.
     """
-    p = p_start.astype(jnp.int64) + jnp.arange(max_pix, dtype=jnp.int64)
-    a = phase_fix + p * inv_fix
-    b = a + inv_fix
-    i0 = (a >> FRAC_BITS).astype(jnp.int32)
+    inv_f = inv_fix.astype(jnp.float32) * jnp.float32(2.0 ** (-FRAC_BITS))
+    rate_f = jnp.float32(1 << FRAC_BITS) / inv_fix.astype(jnp.float32)
 
-    scale = jnp.float32(1 << FRAC_BITS) / inv_fix.astype(jnp.float32)
-    inv_scale = jnp.float32(2.0 ** (-FRAC_BITS))
+    chunk = 128
+    G = 32
+    n_chunks = -(-max_pix // chunk)
+    w_in = int(np.ceil(chunk * inv_nominal * 1.02)) + taps + 2
+    w_rows = -(-(w_in + G - 1) // G) + 1
+    w_pad = w_rows * G
 
-    acc = jnp.zeros((max_pix,), jnp.float32)
-    valid = p < p_end.astype(jnp.int64)
-    base = taps - seg_offset
-    for t in range(taps):
-        idx = i0 + t
-        lo = jnp.maximum(a, idx.astype(jnp.int64) << FRAC_BITS)
-        hi = jnp.minimum(b, (idx + 1).astype(jnp.int64) << FRAC_BITS)
-        w = jnp.maximum(hi - lo, 0).astype(jnp.float32) * inv_scale
-        g = jnp.take(x_local, jnp.clip(idx + base, 0, x_local.shape[0] - 1))
-        acc = acc + w * g
-    return jnp.where(valid, acc * scale, 0.0).astype(jnp.float32)
+    c = jnp.arange(n_chunks, dtype=jnp.int64)
+    base = phase_fix + (p_start.astype(jnp.int64) + c * chunk) * inv_fix
+    start = (base >> FRAC_BITS).astype(jnp.int32)
+    frac = (base - (start.astype(jnp.int64) << FRAC_BITS)).astype(jnp.float32) * jnp.float32(
+        2.0 ** (-FRAC_BITS)
+    )
+
+    loc = start + (taps - seg_offset)  # window start within x_local
+    n_rows = -(-(x_local.shape[0] + w_pad) // G)
+    x2 = jnp.concatenate(
+        [x_local, jnp.zeros((n_rows * G - x_local.shape[0],), x_local.dtype)]
+    ).reshape(n_rows, G)
+    row0 = jnp.clip(loc // G, 0, n_rows - w_rows)
+    win = x2[row0[:, None] + jnp.arange(w_rows, dtype=jnp.int32)[None, :], :].reshape(
+        n_chunks, w_pad
+    )
+    misalign = (loc - row0 * G).astype(jnp.float32)
+
+    r = jnp.arange(chunk, dtype=jnp.float32)
+    pos = (frac + misalign)[:, None] + r[None, :] * inv_f
+    j = jnp.arange(w_pad, dtype=jnp.float32)
+    lo = jnp.maximum(pos[:, :, None], j[None, None, :])
+    hi = jnp.minimum(pos[:, :, None] + inv_f, j[None, None, :] + 1.0)
+    w = jnp.maximum(hi - lo, 0.0)
+    out = jnp.einsum("cpw,cw->cp", w, win) * rate_f
+
+    pixels = out.reshape(n_chunks * chunk)[:max_pix]
+    n_local = (p_end - p_start).astype(jnp.int32)
+    valid = jnp.arange(max_pix, dtype=jnp.int32) < n_local
+    return jnp.where(valid, pixels, 0.0).astype(jnp.float32)
 
 
 def nn_resample_block(x, phase_fix, inv_fix, *, n_samples: int, max_pix: int):

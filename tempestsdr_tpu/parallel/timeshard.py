@@ -173,6 +173,7 @@ def _make_body(config: PipelineConfig, params: Params, T: int):
             seg_start,
             max_pix=max_pix_local,
             taps=taps,
+            inv_nominal=config.samples_per_pixel,
         )
 
         # ---- manual sync skip + fold via psum (add == place: slots past the
