@@ -42,7 +42,7 @@ def main():
     samplerate = 64e6
     block = 1 << 19
     K = 8 if quick else 48  # blocks per dispatch
-    M = 2 if quick else 4  # timed dispatches
+    M = 2 if quick else 12  # timed dispatches (>1s measured at ~240 MS/s)
     if channels:
         return bench_channels(channels, quick)
 

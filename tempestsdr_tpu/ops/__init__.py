@@ -10,7 +10,10 @@ from .autocorr import autocorrelation_magnitude, accumulate_running_mean  # noqa
 from .resample import (  # noqa: F401
     box_resample_block,
     box_resample_block_chunked,
+    box_resample_gather_i32,
+    box_resample_strided,
     nn_resample_block,
+    plan_strided,
 )
 from .fir import design_lowpass_fir, fir_apply_block  # noqa: F401
 from .frame import collapse_v_h, autogain_run, time_lowpass  # noqa: F401
