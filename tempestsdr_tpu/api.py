@@ -77,15 +77,17 @@ class TSDR:
     # ---- parameters ----
 
     def set_resolution(self, height: int, refreshrate: float) -> None:
+        """Geometry is a recompile boundary here (static shapes): changing it
+        while streaming requires stop()/start() — the headless equivalent of
+        the reference's live setResolution, whose C side also reallocates and
+        purges everything (dsp.c:152-173, TSDRLibrary.c:379-383)."""
         if height <= 0 or refreshrate <= 0:
             raise TSDRError(TSDRStatus.WRONG_VIDEOPARAMS, "invalid height/refreshrate")
+        if self.is_running:
+            raise TSDRError(TSDRStatus.ALREADY_RUNNING,
+                            "stop before changing resolution")
         self._height = int(height)
         self._refreshrate = float(refreshrate)
-        if self._session is not None:
-            # geometry change: rebuild like set_internal_samplerate; carried
-            # DSP state resets (the reference purges its rings likewise,
-            # TSDRLibrary.c:379-383)
-            self._rebuild_session()
 
     def set_base_freq(self, freq: float) -> None:
         if self._session is not None:
@@ -111,7 +113,10 @@ class TSDR:
 
     def set_param(self, param: int, value: int) -> None:
         """tsdr_setparameter_int: one-shot params act immediately; flag
-        params rebuild the compiled step (cached -> cheap after first)."""
+        params apply live — a running session swaps its compiled step at the
+        next block (cached -> cheap after the first flip), preserving carried
+        state like the reference's in-place params_int writes
+        (TSDRLibrary.c:604-611)."""
         p = PARAM(param)
         if p == PARAM.AUTOCORR_PLOTS_RESET:
             if self._session is not None:
@@ -122,10 +127,16 @@ class TSDR:
                 self._session.dump_autocorr()
             return
         new = self._params.with_int_param(p, value)
-        if new != self._params:
-            self._params = new
-            if self._session is not None:
-                self._rebuild_session(keep_state=True)
+        if new == self._params:
+            return
+        if new.superresolution != self._params.superresolution and self.is_running:
+            # superresolution changes the pipeline sample rate (hops x):
+            # a config boundary, not a live flag
+            raise TSDRError(TSDRStatus.ALREADY_RUNNING,
+                            "stop before toggling superresolution")
+        self._params = new
+        if self._session is not None:
+            self._session.set_params(new)
 
     # ---- streaming ----
 
@@ -146,13 +157,10 @@ class TSDR:
             block_samples=self._block_samples,
         )
 
-    def _rebuild_session(self, keep_state: bool = False) -> None:
-        old = self._session
+    def _rebuild_session(self) -> None:
         self._session = Session(self._make_config(), self._params, self._source,
                                 self._callbacks, batch_blocks=self._batch_blocks)
         self._session.set_motionblur(getattr(self, "_motionblur", 0.0))
-        if keep_state and old is not None and jax_state_compatible(old.state, self._session.state):
-            self._session.state = old.state
 
     def start(
         self,
@@ -190,13 +198,3 @@ class TSDR:
     def close(self) -> None:
         self.stop()
         self.unload_source()
-
-
-def jax_state_compatible(a, b) -> bool:
-    import jax
-
-    fa, _ = jax.tree.flatten(a)
-    fb, _ = jax.tree.flatten(b)
-    return len(fa) == len(fb) and all(
-        x.shape == y.shape and x.dtype == y.dtype for x, y in zip(fa, fb)
-    )

@@ -25,7 +25,7 @@ from ..errors import TSDRError, TSDRStatus
 from ..events import PLOT_ID, VALUE_ID, PlotEvent, ValueEvent
 from ..sources.base import Source
 from .pipeline import StepControls, make_step
-from .state import StreamState, init_state, reset_autocorr
+from .state import StreamState, init_state, reset_autocorr, state_compatible
 
 AUTOGAIN_REPORT_EVERY_FRAMES = 5  # dsp.c:20
 
@@ -74,22 +74,8 @@ class Session:
         self.source = source
         self.callbacks = callbacks or SessionCallbacks()
         self.batch_blocks = max(int(batch_blocks), 1)
-        self._step = jax.jit(make_step(config, params), donate_argnums=0)
-        if self.batch_blocks > 1:
-            from jax import lax
-
-            inner = make_step(config, params)
-
-            # dropped/syncoffset are one-shot events: they ride as per-block
-            # arrays (value in slot 0 only) so a scan doesn't re-apply them
-            def scan_steps(state, raws, dropped_arr, sync_arr, motionblur):
-                def body(st, xs):
-                    raw, dr, sy = xs
-                    return inner(st, raw, StepControls(dr, sy, motionblur))
-
-                return lax.scan(body, state, (raws, dropped_arr, sync_arr))
-
-            self._scan = jax.jit(scan_steps, donate_argnums=0)
+        self._pending_params: Optional[Params] = None
+        self._build_steps(params)
         self.state: StreamState = init_state(config, params.fir_lowpass_taps)
         self._pending_sync = 0
         self._motionblur = 0.0
@@ -102,6 +88,52 @@ class Session:
         from ..utils.profiling import IngestMeter
 
         self.meter = IngestMeter()
+
+    def _build_steps(self, params: Params) -> None:
+        self._step = jax.jit(make_step(self.config, params), donate_argnums=0)
+        if self.batch_blocks > 1:
+            from jax import lax
+
+            inner = make_step(self.config, params)
+
+            # dropped/syncoffset are one-shot events: they ride as per-block
+            # arrays (value in slot 0 only) so a scan doesn't re-apply them
+            def scan_steps(state, raws, dropped_arr, sync_arr, motionblur):
+                def body(st, xs):
+                    raw, dr, sy = xs
+                    return inner(st, raw, StepControls(dr, sy, motionblur))
+
+                return lax.scan(body, state, (raws, dropped_arr, sync_arr))
+
+            self._scan = jax.jit(scan_steps, donate_argnums=0)
+
+    def set_params(self, new_params: Params) -> None:
+        """Live param-flag change (the reference toggles params_int while
+        streaming, TSDRLibrary.c:604-611). Applied at the next loop
+        iteration: the jitted step is rebuilt (compile-cached), carried state
+        survives, and the reference's buffer-clear on a lowpass_before_sync
+        flip (dsp.c:178-186) is reproduced."""
+        if new_params != self.params:
+            self._pending_params = new_params
+
+    def _apply_pending_params(self) -> None:
+        new = self._pending_params
+        self._pending_params = None
+        if new is None or new == self.params:
+            return
+        flip_lowpass = new.lowpass_before_sync != self.params.lowpass_before_sync
+        old_state = self.state
+        self.params = new
+        self._build_steps(new)
+        fresh = init_state(self.config, new.fir_lowpass_taps)
+        if state_compatible(old_state, fresh):
+            self.state = old_state
+            if flip_lowpass:
+                self.state = self.state._replace(
+                    screenbuffer=jnp.zeros_like(self.state.screenbuffer)
+                )
+        else:
+            self.state = fresh
 
     # ---- interactive control surface (tsdr_* API equivalents) ----
 
@@ -175,16 +207,32 @@ class Session:
 
     # ---- checkpoint / resume (absent in reference; SURVEY.md §5.4) ----
 
-    def save_state(self, path: str) -> None:
+    def save_state(self, path) -> None:
+        import os
+
+        path = os.fspath(path)
+        if not path.endswith(".npz"):
+            path += ".npz"  # np.savez appends it silently; keep load symmetric
         flat, treedef = jax.tree.flatten(self.state)
         np.savez(path, *[np.asarray(x) for x in flat])
 
-    def load_state(self, path: str) -> None:
+    def load_state(self, path) -> None:
+        import os
+
+        path = os.fspath(path)
+        if not path.endswith(".npz"):
+            path += ".npz"
         with np.load(path) as z:
             flat = [z[k] for k in z.files]
         ref_flat, treedef = jax.tree.flatten(self.state)
-        if len(flat) != len(ref_flat):
-            raise TSDRError(TSDRStatus.INVALID_PARAMETER_VALUE, "state shape mismatch")
+        if len(flat) != len(ref_flat) or any(
+            x.shape != np.asarray(y).shape or x.dtype != np.asarray(y).dtype
+            for x, y in zip(ref_flat, flat)
+        ):
+            raise TSDRError(
+                TSDRStatus.INVALID_PARAMETER_VALUE,
+                "checkpoint does not match this session's geometry/params",
+            )
         self.state = jax.tree.unflatten(treedef, [jnp.asarray(x) for x in flat])
 
     # ---- the streaming loop ----
@@ -202,6 +250,8 @@ class Session:
             for blk in self.source.stream(self.config.block_samples):
                 if not self._running:
                     break
+                if self._pending_params is not None:
+                    self._apply_pending_params()
                 if self._pending_ac_reset:
                     self.state = reset_autocorr(self.state)
                     self._pending_ac_reset = False
@@ -290,6 +340,8 @@ class Session:
             for blk in self.source.stream(n):
                 if not self._running:
                     break
+                if self._pending_params is not None:
+                    self._apply_pending_params()
                 raw = np.asarray(blk.samples)
                 f = _normalize_host(raw)
                 iq = (f[0::2] + 1j * f[1::2]).astype(np.complex64)
@@ -308,7 +360,9 @@ class Session:
                     self._pending_sync = 0
                     self.state, o = self._step(self.state, jnp.asarray(inter), controls)
                     blocks += 1
-                    frames += self._dispatch(o)
+                    got = self._dispatch(o)
+                    frames += got
+                    self.meter.update(n, got)
                     if max_blocks is not None and blocks >= max_blocks:
                         self._running = False
                     if max_frames is not None and frames >= max_frames:

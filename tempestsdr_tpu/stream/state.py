@@ -97,6 +97,20 @@ def init_state(config: PipelineConfig, fir_ntaps: int = 0) -> StreamState:
     )
 
 
+def state_compatible(a: StreamState, b: StreamState) -> bool:
+    """Same tree shape, leaf shapes and dtypes — safe to carry across a
+    rebuilt step."""
+    import jax
+
+    fa, ta = jax.tree.flatten(a)
+    fb, tb = jax.tree.flatten(b)
+    return (
+        ta == tb
+        and len(fa) == len(fb)
+        and all(x.shape == y.shape and x.dtype == y.dtype for x, y in zip(fa, fb))
+    )
+
+
 def reset_autocorr(state: StreamState) -> StreamState:
     """PARAM_AUTOCORR_PLOTS_RESET / retune flush
     (frameratedetector.c:97-104,197-201): clear accumulated averages."""

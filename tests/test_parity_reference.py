@@ -24,7 +24,7 @@ REF = "/root/reference"
 # Modest rate + slowed replay: the reference pipeline must run *drop-free*
 # for a deterministic comparison, and on this VM it cannot sustain 8 MS/s
 # real-time (its rings overflow with frame-aligned drops, perturbing the
-# autogain trajectory). 2 MS/s at TIME_STRETCH=4 gives it 4x headroom.
+# autogain trajectory). 2 MS/s at TIME_STRETCH=6 gives it headroom even when the test host is loaded.
 SR = 2_000_000
 HEIGHT = 600
 REFRESH = 60.0
@@ -34,7 +34,7 @@ REFRESH = 60.0
 # W*H % 10 == 0 AND samplerate/refresh is integer — then EVERY round hits the
 # bug and the stale pixels drag its autogain min/max). sr/refresh here is
 # fractional so the carried phase drifts and exact alignment never occurs.
-TIME_STRETCH = 4
+TIME_STRETCH = 6
 # The reference's loop-at-EOF is lossy either way (non-aligned files get
 # stale padding; exactly-aligned files get one duplicated chunk), so size the
 # file to cover the whole comparison window in a single pass:
@@ -162,7 +162,7 @@ def test_frames_match_reference(ref_build, capture):
     ctrl = StepControls.default()
     ours = []
     seen = 0
-    max_ours = skip + n_ref + 80  # window covering the reference's drops
+    max_ours = skip + n_ref + 140  # window covering the reference's drops
     for blk in src.stream(cfg.block_samples):
         state, o = step(state, jnp.asarray(blk.samples), ctrl)
         if bool(o.frame_valid):

@@ -218,6 +218,36 @@ def test_session_batched_matches_unbatched():
         np.testing.assert_array_equal(a, b)
 
 
+def test_live_param_toggle_mid_stream():
+    """Param flags flip while streaming (reference toggles params_int live):
+    the session swaps its compiled step at the next block, carried state
+    survives, and the new behaviour is observable in subsequent frames."""
+    src = SyntheticSource()
+    src.init(f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params(framerate_pll=False, debug_markers=False)
+    frames = []
+    sess_box = {}
+
+    def on_frame(f):
+        frames.append(f)
+        if len(frames) == 6:
+            sess_box["s"].set_params(params.replace(debug_markers=True))
+
+    sess = Session(cfg, params, src, SessionCallbacks(on_frame=on_frame))
+    sess_box["s"] = sess
+    n = sess.run(max_frames=14)
+    assert n == 14
+    from tempestsdr_tpu.config import PIXEL_SPECIAL_VALUE_G
+
+    assert not (frames[4] == PIXEL_SPECIAL_VALUE_G).any()
+    assert (frames[-1] == PIXEL_SPECIAL_VALUE_G).any(), "marker toggle never applied"
+    assert sess.params.debug_markers
+    # carried state survived the swap: frame counter kept counting
+    assert int(np.asarray(sess.state.frame_count)) == 14
+
+
 def test_session_autocorr_dump(tmp_path):
     """DMP equivalent: CSV dump in the reference's "ms, dB" format
     (frameratedetector.c:64-85)."""
