@@ -40,6 +40,23 @@ def test_cli_auto_resolution(capsys):
     assert rc == 0
 
 
+def test_cli_auto_apply_restarts_at_detected_mode(capsys):
+    """--auto-apply: detect the mode, stop, set_resolution, stream again
+    (GUI AUT behaviour)."""
+    rc = cli.main([
+        "--source", "synthetic",
+        "--source-params", "600 111 60 2000000 0.01",
+        "--height", "400", "--rate", "55",
+        "--block-samples", "16384",
+        "--blocks", "60",
+        "--no-pll", "--auto-resolution", "--auto-apply",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "AUTO-RESOLUTION" in out
+    assert "applying detected mode" in out
+
+
 def test_snapshot_formats(tmp_path):
     frame = np.linspace(0, 1, 40 * 30, dtype=np.float32).reshape(40, 30)
     frame[3, 3] = PIXEL_SPECIAL_VALUE_G
