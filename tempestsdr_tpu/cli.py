@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None, help="directory for frame snapshots")
     p.add_argument("--save-every", type=int, default=30, help="snapshot cadence (frames)")
     p.add_argument("--format", default="pgm", choices=["pgm", "npy", "png"])
+    p.add_argument("--invert", action="store_true",
+                   help="invert snapshot grayscale (JNI converter's invert flag)")
     p.add_argument("--autoshift", action="store_true", help="auto-center via sync detection")
     p.add_argument("--no-pll", action="store_true", help="disable the frame-rate PLL")
     p.add_argument("--nearest", action="store_true", help="nearest-neighbour resampling")
@@ -111,7 +113,7 @@ def main(argv=None) -> int:
         n_frames += 1
         if args.out and (n_frames % args.save_every == 0 or n_frames == 1):
             path = os.path.join(args.out, f"frame_{n_frames:06d}.{args.format}")
-            save_frame(f, path)
+            save_frame(f, path, invert=args.invert)
             log(f"frame {n_frames}: saved {path}")
         elif n_frames % 30 == 0:
             log(f"frame {n_frames}: range [{f.min():.3f}, {f.max():.3f}]")

@@ -83,14 +83,27 @@ class RawFileSource(Source):
                 self._rate, fmt, self._data_offset = float(wav[0]), wav[1], wav[2]
                 self._dtype = _FORMATS[fmt]
                 return
-            if len(toks) != 3:
+            if len(toks) < 3:
                 raise ValueError
-            self._filename, rate_s, fmt = toks
+            self._filename, rate_s, fmt = toks[:3]
             self._data_offset = 0
             self._rate = float(rate_s)
             if self._rate <= 0:
                 raise ValueError
             self._dtype = _FORMATS[fmt]
+            # optional trailing tokens (the reference's compile-time knobs
+            # PERFORMANCE_BENCHMARK / TIME_STRETCH / ENABLE_LOOP as runtime
+            # options): "throttle", "stretch=N", "noloop"
+            for tok in toks[3:]:
+                if tok == "throttle":
+                    self._throttle = True
+                elif tok == "noloop":
+                    self._loop = False
+                elif tok.startswith("stretch="):
+                    self._stretch = float(tok.split("=", 1)[1])
+                    self._throttle = True
+                else:
+                    raise ValueError
         except (ValueError, KeyError):
             self._err = (
                 "params should be: filename samplerate format "

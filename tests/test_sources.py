@@ -70,6 +70,20 @@ def test_rawfile_bad_params():
         src.init("name -5 uint8")
 
 
+def test_rawfile_option_tokens(tmp_path):
+    """Optional trailing params: throttle / stretch=N / noloop (the
+    reference's compile-time replay knobs as runtime options)."""
+    p = tmp_path / "c.bin"
+    p.write_bytes(np.arange(4096, dtype=np.uint8).tobytes())
+    src = RawFileSource(native=False)
+    src.init(f"{p} 1000000 uint8 stretch=2 noloop")
+    assert src._throttle and src._stretch == 2.0 and not src._loop
+    blocks = list(src.stream(512))
+    assert len(blocks) == 4  # noloop: exactly one pass
+    with pytest.raises(TSDRError):
+        RawFileSource().init(f"{p} 1000000 uint8 bogus")
+
+
 def test_rawfile_quoted_filename(tmp_path):
     p = tmp_path / "my capture.bin"
     p.write_bytes(np.zeros(1024, np.uint8).tobytes())
