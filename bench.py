@@ -114,9 +114,8 @@ def bench_channels(n_channels: int, quick: bool):
 
     from tempestsdr_tpu.config import PipelineConfig
     from tempestsdr_tpu.params import Params
-    from tempestsdr_tpu.stream import make_step
     from tempestsdr_tpu.parallel.channels import stack_states
-    from tempestsdr_tpu.stream.pipeline import StepControls
+    from tempestsdr_tpu.stream.pipeline import StepControls, make_channels_step
 
     samplerate = 16e6
     block = 1 << 17
@@ -124,7 +123,7 @@ def bench_channels(n_channels: int, quick: bool):
     M = 2 if quick else 4
     cfg = PipelineConfig(samplerate=samplerate, height=628, refreshrate=60.0,
                          block_samples=block)
-    step = jax.vmap(make_step(cfg, Params()))
+    step = make_channels_step(cfg, Params())
 
     def body(state, raw):
         state, out = step(state, raw,

@@ -15,7 +15,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import PipelineConfig
 from ..params import Params
-from ..stream.pipeline import make_step
+from ..stream.pipeline import make_channels_step
 from ..stream.state import StreamState, init_state
 
 
@@ -27,13 +27,14 @@ def stack_states(config: PipelineConfig, n_channels: int, fir_ntaps: int = 0) ->
     )
 
 
-def make_channel_step(config: PipelineConfig, params: Params, mesh: Mesh):
-    """jit(vmap(step)) with every argument/output sharded over the 'ch' axis.
+def make_channel_step(config: PipelineConfig, params: Params, mesh: Mesh, n_channels: int = None):
+    """Uniform-cadence channel step, sharded over the 'ch' axis.
 
     With jax.jit + NamedSharding the XLA SPMD partitioner keeps each
     channel's whole pipeline on its own device; carried state never moves.
+    The any()-gates in make_channels_step become cheap scalar all-reduces.
     """
-    step = jax.vmap(make_step(config, params))
+    step = make_channels_step(config, params)
     sharding = NamedSharding(mesh, P("ch"))
 
     def sharded(tree):

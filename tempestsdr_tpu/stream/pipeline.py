@@ -122,12 +122,22 @@ def _post_process(config: PipelineConfig, params: Params, frame2d, screen, ag, s
     return result, screen, ag, sync_x, sync_y, pll
 
 
-def make_step(config: PipelineConfig, params: Params):
-    """Build the jittable per-block step for one channel.
+def _make_step_parts(config: PipelineConfig, params: Params):
+    """The per-block step split into pure composable pieces:
 
-    Returns step(state: StreamState, raw: [2*block_samples] any supported
-    dtype, controls: StepControls) -> (StreamState, StepOutputs).
-    """
+      pre(state, raw, controls) -> Intermediates   (all per-sample work, no
+          conditionals: demod, drops, autocorr accumulate, FIR, resample,
+          sync skip, fold write)
+      ac_round_fn(ops) -> ops'                      (FFT + running averages)
+      emit_fn(ops) -> ops' + frame                  (per-frame post-process)
+      assemble(state, it, ac_ops, emit_ops, frame)  -> (state', outputs)
+
+    make_step composes them with lax.cond (single channel: only the taken
+    branch runs); make_channels_step composes them with vmap + any()-gated
+    conds + per-channel selects, so a batch of channels pays for the heavy
+    bodies only on blocks where some channel actually crosses a boundary
+    (a plain vmap(step) would run both branches every block for every
+    channel)."""
     n = config.block_samples
     taps = config.resample_taps
     max_pix = config.max_block_pixels
@@ -149,7 +159,7 @@ def make_step(config: PipelineConfig, params: Params):
             design_lowpass_fir(params.fir_lowpass_taps, min(1.0 / config.samples_per_pixel, 0.98))
         )
 
-    def step(state: StreamState, raw, controls: StepControls):
+    def pre(state: StreamState, raw, controls: StepControls):
         env = am_demod(normalize_iq(raw))  # f32[n]
 
         # ---- drop compensation: fold the whole-2-frame sample skip into the
@@ -170,31 +180,10 @@ def make_step(config: PipelineConfig, params: Params):
             ac_buf = jnp.where(fed, written, state.ac_buf)
             ac_fill = jnp.where(fed, fill0 + n, fill0)
             round_done = ac_fill >= ac_round
-
-            def ac_round_fn(ops):
-                buf, avg_f, avg_l, calls = ops
-                r = autocorrelation_magnitude(buf[:ac_fft])
-                calls = calls + 1
-                avg_f = accumulate_running_mean(avg_f, r[fw_off : fw_off + fw_len], calls)
-                avg_l = accumulate_running_mean(avg_l, r[lw_off : lw_off + lw_len], calls)
-                buf = jnp.concatenate([buf[ac_round:], jnp.zeros((ac_round,), jnp.float32)])
-                return buf, avg_f, avg_l, calls
-
-            ac_buf, ac_avg_frame, ac_avg_line, ac_calls = lax.cond(
-                round_done,
-                ac_round_fn,
-                lambda ops: ops,
-                (ac_buf, state.ac_avg_frame, state.ac_avg_line, state.ac_calls),
-            )
             ac_fill = jnp.where(round_done, ac_fill - ac_round, ac_fill)
         else:
             round_done = jnp.asarray(False)
             ac_buf, ac_fill = state.ac_buf, state.ac_fill
-            ac_avg_frame, ac_avg_line, ac_calls = (
-                state.ac_avg_frame,
-                state.ac_avg_line,
-                state.ac_calls,
-            )
 
         # ---- optional FIR low-pass (overlap-save)
         if params.fir_lowpass_taps:
@@ -246,35 +235,71 @@ def make_step(config: PipelineConfig, params: Params):
         fill2 = state.fill + n_valid
         emit = fill2 >= frame_pixels
 
-        # ---- per-frame post-processing on completion
-        def do_emit(ops):
-            framebuf, fill2, screen, ag, sx, sy, pll = ops
-            frame2d = framebuf[:frame_pixels].reshape(h, w)
-            result, screen, ag, sx, sy, pll = _post_process(
-                config, params, frame2d, screen, ag, sx, sy, pll, controls.motionblur
-            )
-            framebuf = jnp.concatenate(
-                [framebuf[frame_pixels:], jnp.zeros((frame_pixels,), jnp.float32)]
-            )
-            return framebuf, fill2 - frame_pixels, screen, ag, sx, sy, pll, result
+        inter = dict(
+            phase2=phase2,
+            new_tail=new_tail,
+            fir_tail=fir_tail,
+            pend=pend,
+            framebuf=framebuf,
+            fill2=fill2,
+            emit=emit,
+            n_out=n_out,
+            ac_buf=ac_buf,
+            ac_fill=ac_fill,
+            round_done=round_done,
+            motionblur=controls.motionblur,
+        )
+        return inter
 
-        def no_emit(ops):
-            framebuf, fill2, screen, ag, sx, sy, pll = ops
-            return framebuf, fill2, screen, ag, sx, sy, pll, jnp.zeros((h, w), jnp.float32)
+    def ac_round_fn(ops):
+        buf, avg_f, avg_l, calls = ops
+        r = autocorrelation_magnitude(buf[:ac_fft])
+        calls = calls + 1
+        avg_f = accumulate_running_mean(avg_f, r[fw_off : fw_off + fw_len], calls)
+        avg_l = accumulate_running_mean(avg_l, r[lw_off : lw_off + lw_len], calls)
+        buf = jnp.concatenate([buf[ac_round:], jnp.zeros((ac_round,), jnp.float32)])
+        return buf, avg_f, avg_l, calls
 
+    def emit_fn(ops):
+        framebuf, fill2, screen, ag, sx, sy, pll, motionblur = ops
+        frame2d = framebuf[:frame_pixels].reshape(h, w)
+        result, screen, ag, sx, sy, pll = _post_process(
+            config, params, frame2d, screen, ag, sx, sy, pll, motionblur
+        )
+        framebuf = jnp.concatenate(
+            [framebuf[frame_pixels:], jnp.zeros((frame_pixels,), jnp.float32)]
+        )
+        return (framebuf, fill2 - frame_pixels, screen, ag, sx, sy, pll, motionblur), result
+
+    def no_emit_fn(ops):
+        framebuf, fill2, screen, ag, sx, sy, pll, motionblur = ops
+        return ops, jnp.zeros((h, w), jnp.float32)
+
+    def emit_ops_of(state: StreamState, inter):
         ag = (state.ag_min, state.ag_max, state.ag_snr)
-        framebuf, fill, screen, ag, sync_x, sync_y, pll, frame_out = lax.cond(
-            emit,
-            do_emit,
-            no_emit,
-            (framebuf, fill2, state.screenbuffer, ag, state.sync_x, state.sync_y, state.pll),
+        return (
+            inter["framebuf"],
+            inter["fill2"],
+            state.screenbuffer,
+            ag,
+            state.sync_x,
+            state.sync_y,
+            state.pll,
+            inter["motionblur"],
         )
 
+    def ac_ops_of(state: StreamState, inter):
+        return (inter["ac_buf"], state.ac_avg_frame, state.ac_avg_line, state.ac_calls)
+
+    def assemble(state: StreamState, inter, ac_ops, emit_ops, frame_out):
+        ac_buf, ac_avg_frame, ac_avg_line, ac_calls = ac_ops
+        framebuf, fill, screen, ag, sync_x, sync_y, pll, _mb = emit_ops
+        emit = inter["emit"]
         new_state = StreamState(
-            phase_fix=phase2,
-            tail=new_tail,
-            fir_tail=fir_tail,
-            skip_pixels=pend,
+            phase_fix=inter["phase2"],
+            tail=inter["new_tail"],
+            fir_tail=inter["fir_tail"],
+            skip_pixels=inter["pend"],
             fill=fill,
             framebuf=framebuf,
             screenbuffer=screen,
@@ -287,7 +312,7 @@ def make_step(config: PipelineConfig, params: Params):
             runs=state.runs + emit.astype(jnp.int32),
             frame_count=state.frame_count + emit.astype(jnp.int64),
             ac_buf=ac_buf,
-            ac_fill=ac_fill,
+            ac_fill=inter["ac_fill"],
             ac_avg_frame=ac_avg_frame,
             ac_avg_line=ac_avg_line,
             ac_calls=ac_calls,
@@ -295,7 +320,7 @@ def make_step(config: PipelineConfig, params: Params):
         outputs = StepOutputs(
             frame=frame_out,
             frame_valid=emit,
-            n_pixels=n_out,
+            n_pixels=inter["n_out"],
             refreshrate=jnp.float32(config.refreshrate) + pll.refresh_delta,
             pll_locked=pll.locked,
             ag_min=ag[0],
@@ -305,17 +330,97 @@ def make_step(config: PipelineConfig, params: Params):
             sync_dy=sync_y.dx,
             ac_frame_plot=ac_avg_frame,
             ac_line_plot=ac_avg_line,
-            ac_plot_valid=round_done,
+            ac_plot_valid=inter["round_done"],
             ac_calls=ac_calls,
         )
         return new_state, outputs
+
+    return pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble
+
+
+def make_step(config: PipelineConfig, params: Params):
+    """Build the jittable per-block step for one channel.
+
+    Returns step(state: StreamState, raw: [2*block_samples] any supported
+    dtype, controls: StepControls) -> (StreamState, StepOutputs).
+    """
+    pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble = (
+        _make_step_parts(config, params)
+    )
+    run_autocorr = config.autocorr and not params.autocorr_plots_off
+
+    def step(state: StreamState, raw, controls: StepControls):
+        inter = pre(state, raw, controls)
+        ac_ops = ac_ops_of(state, inter)
+        if run_autocorr:
+            ac_ops = lax.cond(inter["round_done"], ac_round_fn, lambda o: o, ac_ops)
+        emit_ops, frame_out = lax.cond(
+            inter["emit"], emit_fn, no_emit_fn, emit_ops_of(state, inter)
+        )
+        return assemble(state, inter, ac_ops, emit_ops, frame_out)
+
+    return step
+
+
+def _select_tree(pred, a, b):
+    """Per-channel commit: where(pred_c, a_c, b_c) across a pytree."""
+    def sel(x, y):
+        p = pred.reshape(pred.shape + (1,) * (x.ndim - pred.ndim))
+        return jnp.where(p, x, y)
+
+    return jax.tree.map(sel, a, b)
+
+
+def make_channels_step(config: PipelineConfig, params: Params, n_channels: int = 0):
+    """Uniform-cadence multi-channel step (config 5 on one chip).
+
+    A plain vmap(step) turns every lax.cond into a select, so the FFT round
+    and the per-frame post-process execute for EVERY channel on EVERY block.
+    Here only the cheap per-sample work is vmapped unconditionally; the heavy
+    bodies run under an any()-gated cond — channels stay block-synchronized
+    in steady state (same block size, same cadence), so the gate fires at
+    the per-frame/per-round rate, and per-channel selects commit results only
+    for the channels that actually crossed the boundary (correct under
+    drop-induced desync too, at the cost of running the body for all
+    channels whenever any one fires).
+    """
+    pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble = (
+        _make_step_parts(config, params)
+    )
+    run_autocorr = config.autocorr and not params.autocorr_plots_off
+
+    def step(states: StreamState, raws, controls: StepControls):
+        inter = jax.vmap(pre)(states, raws, controls)
+        ac_ops = ac_ops_of(states, inter)
+        if run_autocorr:
+            rd = inter["round_done"]
+            ac_ops = lax.cond(
+                jnp.any(rd),
+                lambda o: _select_tree(rd, jax.vmap(ac_round_fn)(o), o),
+                lambda o: o,
+                ac_ops,
+            )
+        em = inter["emit"]
+        e_ops = emit_ops_of(states, inter)
+        zero_frames = jnp.zeros((em.shape[0], config.height, config.width), jnp.float32)
+
+        def do_emit_all(o):
+            new_ops, new_frames = jax.vmap(emit_fn)(o)
+            return _select_tree(em, new_ops, o), _select_tree(em, new_frames, zero_frames)
+
+        emit_ops, frames = lax.cond(
+            jnp.any(em), do_emit_all, lambda o: (o, zero_frames), e_ops
+        )
+        return jax.vmap(assemble)(states, inter, ac_ops, emit_ops, frames)
 
     return step
 
 
 def make_multi_step(config: PipelineConfig, params: Params):
     """vmapped multi-channel step: leading channel axis on state, raw blocks
-    and controls (BASELINE.json config 5 — independent emitters)."""
+    and controls (BASELINE.json config 5 — independent emitters). Prefer
+    make_channels_step, which avoids executing both cond branches per
+    channel per block."""
     step = make_step(config, params)
     return jax.vmap(step)
 

@@ -155,6 +155,51 @@ def test_channel_dp_matches_per_channel():
         np.testing.assert_allclose(frames_dp[c], last, rtol=1e-4, atol=1e-5)
 
 
+def test_channels_step_matches_per_channel():
+    """The uniform-cadence multi-channel step (any()-gated heavy bodies +
+    per-channel commit) must reproduce independent single-channel runs."""
+    import jax.numpy as jnp
+    from tempestsdr_tpu.stream.pipeline import make_channels_step
+
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=True)
+    params = Params(framerate_pll=True)
+    C = 3
+    n_blocks = 20
+    per_ch = [gen_blocks(n_blocks, cfg.block_samples, seed=c) for c in range(C)]
+
+    stepC = jax.jit(make_channels_step(cfg, params, C))
+    states = stack_states(cfg, C)
+    ctrl = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (C,) + x.shape),
+                        StepControls.default())
+    frames_c = {}
+    plots_c = {}
+    for b in range(n_blocks):
+        raws = jnp.stack([jnp.asarray(per_ch[c][b]) for c in range(C)])
+        states, outs = stepC(states, raws, ctrl)
+        for c in range(C):
+            if bool(outs.frame_valid[c]):
+                frames_c[c] = np.asarray(outs.frame[c])
+            if bool(outs.ac_plot_valid[c]):
+                plots_c[c] = np.asarray(outs.ac_frame_plot[c])
+
+    step1 = jax.jit(make_step(cfg, params))
+    for c in range(C):
+        s = init_state(cfg)
+        last = lastp = None
+        for b in range(n_blocks):
+            s, o = step1(s, jnp.asarray(per_ch[c][b]), StepControls.default())
+            if bool(o.frame_valid):
+                last = np.asarray(o.frame)
+            if bool(o.ac_plot_valid):
+                lastp = np.asarray(o.ac_frame_plot)
+        np.testing.assert_allclose(frames_c[c], last, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(plots_c[c], lastp, rtol=1e-4, atol=1e-5)
+        # exact per-channel carries
+        np.testing.assert_array_equal(np.asarray(states.phase_fix[c]), np.asarray(s.phase_fix))
+        np.testing.assert_array_equal(np.asarray(states.frame_count[c]), np.asarray(s.frame_count))
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(n_channel=4, n_time=4)  # 16 > 8 devices
