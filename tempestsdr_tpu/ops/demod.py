@@ -46,10 +46,13 @@ def am_demod(iq: jnp.ndarray) -> jnp.ndarray:
     if iq.ndim == 1:
         y = iq * iq
         if y.shape[0] % _PAIR_COLS == 0:
+            # Precision.HIGHEST: the TPU's default matmul rounds inputs to
+            # bf16 (~0.4% error); the 3-pass f32 mode keeps the pairing exact
             e2 = jnp.dot(
                 y.reshape(-1, _PAIR_COLS),
                 jnp.asarray(_pairing_matrix()),
                 preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
             )
             return jnp.sqrt(e2).reshape(-1)
         power = lax.reduce_window(y, 0.0, lax.add, (2,), (2,), "VALID")
