@@ -26,6 +26,11 @@ REFERENCE_MSPS = 25.0  # acs-dissertation.tex:907
 
 def main():
     import jax
+
+    # persistent compile cache: the remote-TPU environment pays minutes of
+    # session-claim + remote compile per fresh process; cached HLO makes
+    # repeat bench runs start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
     from jax import lax
 
@@ -105,10 +110,13 @@ def main():
 
 
 def bench_channels(n_channels: int, quick: bool):
-    """Config-5 single-chip variant: n independent IQ channels vmapped on one
-    chip; reports aggregate ingest. (Cross-chip channel scaling runs the same
-    code over a {ch} mesh — see parallel/channels.py and dryrun_multichip.)"""
+    """Config-5 single-chip variant: n independent IQ channels on one chip
+    (uniform-cadence channels step); reports aggregate ingest. (Cross-chip
+    channel scaling runs the same code over a {ch} mesh — see
+    parallel/channels.py and dryrun_multichip.)"""
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
     from jax import lax
 
