@@ -1,16 +1,28 @@
-"""Benchmark: sustained IQ ingest rate of the full single-chip pipeline.
+"""Benchmark: the five BASELINE.json configs on one TPU chip, one process.
 
-Flagship config: 64 MS/s stream, 800x600@60 display (1056x628 VESA total
-geometry -> width derived from the sample rate), uint8 IQ, full pipeline
-(demod -> box resample -> fold -> sync/PLL/autogain post-process + FFT
-autocorrelation estimator). Blocks are pre-staged in HBM and processed with
-a lax.scan of K blocks per dispatch so host/relay dispatch latency is
-amortized away — the measured number is chip throughput.
+Configs (BASELINE.json):
+  1. RawFile replay   — 8 MS/s uint8, fixed 800x600@60 (1056x628 total):
+                        ingest MS/s + steady-state demodulated frames/s
+  2. Auto-estimation  — 16 MS/s, unknown mode: estimator-active ingest,
+                        autocorr rounds/s, signal-time to correct detection
+  3. Sync + averaging — 16 MS/s, 16-frame motion-blur averaging: frames/s +
+                        measured SNR gain vs the unaveraged stream
+  4. Wideband stream  — 64 MS/s full pipeline (the flagship number; the
+                        sharded halo path is validated by dryrun_multichip)
+  5. Multi-target     — 8 channels x 16 MS/s on one chip (pod channel-DP
+                        runs this same step over a {ch} mesh)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline compares against the reference's demonstrated real-time rate of
-25 MS/s on its fastest benchmarked host (Core i5 >40 fps at 25 MS/s,
-documentation/acs-dissertation.tex:907).
+Methodology (see CLAUDE.md): every number is a jitted lax.scan over K blocks
+per dispatch with a host fetch before the clock stops — per-dispatch timing
+through the remote-TPU relay would measure ~10 ms of tunnel latency, and
+block_until_ready is optimistic. frames/s counts only steady-state dispatches
+(compile excluded). `--quick` shrinks reps; `--channels N` / `--config N`
+run one config; `--mesh` runs the virtual-mesh scaling curve (CPU subprocess).
+
+Prints ONE final JSON line:
+  {"metric", "value", "unit", "vs_baseline", "configs": {per-config results}}
+vs_baseline: config-4 ingest vs the reference's demonstrated 25 MS/s real-time
+on its fastest benchmarked host (acs-dissertation.tex:907).
 """
 
 from __future__ import annotations
@@ -22,81 +34,58 @@ import time
 import numpy as np
 
 REFERENCE_MSPS = 25.0  # acs-dissertation.tex:907
+REFERENCE_FPS = 40.0  # >40 fps at 25 MS/s, same source
+
+
+def _arg(flag, default=None, cast=int):
+    if flag in sys.argv:
+        i = sys.argv.index(flag)
+        if i + 1 < len(sys.argv):
+            return cast(sys.argv[i + 1])
+    return default
 
 
 def main():
+    if "--mesh" in sys.argv:
+        return bench_mesh()
+
     import jax
 
-    # persistent compile cache: the remote-TPU environment pays minutes of
-    # session-claim + remote compile per fresh process; cached HLO makes
-    # repeat bench runs start in seconds
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    import jax.numpy as jnp
-    from jax import lax
-
-    from tempestsdr_tpu.config import PipelineConfig
-    from tempestsdr_tpu.params import Params
-    from tempestsdr_tpu.stream import make_step, init_state
-    from tempestsdr_tpu.stream.pipeline import StepControls
 
     quick = "--quick" in sys.argv
-    channels = 0
-    for i, a in enumerate(sys.argv):
-        if a == "--channels" and i + 1 < len(sys.argv):
-            channels = int(sys.argv[i + 1])
-    samplerate = 64e6
-    block = 1 << 19
-    K = 8 if quick else 48  # blocks per dispatch
-    M = 2 if quick else 12  # timed dispatches (>1s measured at ~240 MS/s)
+    only = _arg("--config")
+    channels = _arg("--channels")
     if channels:
-        return bench_channels(channels, quick)
+        only = 5
 
-    cfg = PipelineConfig(
-        samplerate=samplerate, height=628, refreshrate=60.0, block_samples=block
+    configs = {}
+    t_start = time.monotonic()
+    budget_s = 1500.0  # stop starting new configs beyond this
+    runner = BenchRunner(quick)
+    plan = [
+        (4, runner.config4_wideband),  # flagship first: headline must exist
+        (1, runner.config1_replay),
+        (2, runner.config2_estimation),
+        (3, runner.config3_averaging),
+        (5, lambda: runner.config5_channels(channels or 8)),
+    ]
+    for num, fn in plan:
+        if only is not None and num != only:
+            continue
+        if num != 4 and only is None and time.monotonic() - t_start > budget_s:
+            print(f"# config {num} skipped: time budget", file=sys.stderr)
+            continue
+        try:
+            configs[f"config{num}"] = fn()
+        except Exception as e:  # noqa: BLE001 — one config must not sink the rest
+            print(f"# config {num} FAILED: {e}", file=sys.stderr)
+            configs[f"config{num}"] = {"error": str(e)[:300]}
+
+    head = configs.get("config4") or next(
+        (c for c in configs.values() if "ingest_MSps" in c), {}
     )
-    params = Params()
-    step = make_step(cfg, params)
-    ctrl = StepControls.default()
-
-    def body(state, raw):
-        state, out = step(state, raw, ctrl)
-        return state, (out.frame_valid, out.n_pixels)
-
-    @jax.jit
-    def run(state, raws):
-        return lax.scan(body, state, raws)
-
-    rng = np.random.default_rng(0)
-    raws = jnp.asarray(
-        rng.integers(0, 256, size=(K, 2 * block), dtype=np.uint8)
-    )
-    state = init_state(cfg)
-
-    t0 = time.monotonic()
-    state, (fv, npix) = run(state, raws)
-    # force a real host fetch — block_until_ready may be optimistic through
-    # the remote-TPU tunnel
-    frames = int(np.asarray(fv).sum())
-    compile_s = time.monotonic() - t0
-    print(f"# compile+first: {compile_s:.1f}s", file=sys.stderr)
-
-    t0 = time.monotonic()
-    fvs = []
-    for _ in range(M):
-        state, (fv, npix) = run(state, raws)
-        fvs.append(fv)
-    got = [int(np.asarray(f).sum()) for f in fvs]  # sync: full device fetch
-    frames += sum(got)
-    dt = time.monotonic() - t0
-
-    samples = M * K * block
-    msps = samples / dt / 1e6
-    fps = frames / (compile_s + dt)  # diagnostic only
-    print(
-        f"# {samples/1e6:.0f} Msamples in {dt:.2f}s -> {msps:.1f} MS/s; "
-        f"~{msps/samplerate*1e6:.2f}x real-time at 64 MS/s; {fps:.1f} frames/s",
-        file=sys.stderr,
-    )
+    msps = head.get("ingest_MSps", 0.0)
     print(
         json.dumps(
             {
@@ -104,71 +93,366 @@ def main():
                 "value": round(msps, 2),
                 "unit": "Msamples/s",
                 "vs_baseline": round(msps / REFERENCE_MSPS, 3),
+                "configs": configs,
             }
         )
     )
 
 
-def bench_channels(n_channels: int, quick: bool):
-    """Config-5 single-chip variant: n independent IQ channels on one chip
-    (uniform-cadence channels step); reports aggregate ingest. (Cross-chip
-    channel scaling runs the same code over a {ch} mesh — see
-    parallel/channels.py and dryrun_multichip.)"""
+class BenchRunner:
+    def __init__(self, quick: bool):
+        self.quick = quick
+
+    # ---- shared scan-timing core ----
+
+    def _timed_scan(self, cfg, params, K, M, ctrl=None, collect_ac=False):
+        """Build step+scan for cfg, run 1 warmup + M timed dispatches of K
+        blocks of synthetic uint8 noise; returns dict with ingest/frames
+        (noise input: frame cadence and per-block cost are input-independent
+        — geometry fixes pixels/block)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from tempestsdr_tpu.params import Params
+        from tempestsdr_tpu.stream import make_step, init_state
+        from tempestsdr_tpu.stream.pipeline import StepControls
+
+        step = make_step(cfg, params)
+        ctrl = ctrl or StepControls.default()
+
+        def body(state, raw):
+            state, out = step(state, raw, ctrl)
+            extra = (out.ac_plot_valid,) if collect_ac else ()
+            return state, (out.frame_valid,) + extra
+
+        @jax.jit
+        def run(state, raws):
+            return lax.scan(body, state, raws)
+
+        rng = np.random.default_rng(0)
+        raws = jnp.asarray(
+            rng.integers(0, 256, size=(K, 2 * cfg.block_samples), dtype=np.uint8)
+        )
+        state = init_state(cfg, params.fir_lowpass_taps)
+        t0 = time.monotonic()
+        state, outs = run(state, raws)
+        _ = np.asarray(outs[0]).sum()
+        compile_s = time.monotonic() - t0
+
+        frames = 0
+        rounds = 0
+        t0 = time.monotonic()
+        all_outs = []
+        for _ in range(M):
+            state, outs = run(state, raws)
+            all_outs.append(outs)
+        for outs in all_outs:
+            frames += int(np.asarray(outs[0]).sum())
+            if collect_ac:
+                rounds += int(np.asarray(outs[1]).sum())
+        dt = time.monotonic() - t0
+        samples = M * K * cfg.block_samples
+        res = {
+            "ingest_MSps": round(samples / dt / 1e6, 1),
+            "frames_per_s": round(frames / dt, 1),
+            "x_realtime": round(samples / dt / cfg.samplerate, 2),
+            "compile_s": round(compile_s, 1),
+        }
+        if collect_ac:
+            res["ac_rounds_per_s"] = round(rounds / dt, 2)
+        return res
+
+    # ---- configs ----
+
+    def config1_replay(self):
+        """8 MS/s uint8 fixed-resolution replay (the reference's flagship
+        demo: >40 fps at 25 MS/s on a Core i5)."""
+        from tempestsdr_tpu.config import PipelineConfig
+        from tempestsdr_tpu.params import Params
+
+        cfg = PipelineConfig(samplerate=8e6, height=628, refreshrate=60.0,
+                            block_samples=1 << 17)
+        K, M = (8, 2) if self.quick else (48, 8)
+        r = self._timed_scan(cfg, Params(), K, M)
+        r["vs_ref_fps"] = round(r["frames_per_s"] / REFERENCE_FPS, 1)
+        print(f"# config1 replay@8MS/s: {r}", file=sys.stderr)
+        return r
+
+    def config2_estimation(self):
+        """Estimator-active throughput + time-to-detect an unknown mode.
+
+        Detection: replay a synthetic 16 MS/s capture of an undeclared
+        1056x628@60 display through the full pipeline with the estimator on,
+        feed the plot outputs to AutoResolution, report the signal-time (s of
+        stream) until the correct (rate, height) wins its 3 rounds
+        (Main.java:1232-1277 convergence)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tempestsdr_tpu.config import PipelineConfig
+        from tempestsdr_tpu.params import Params
+        from tempestsdr_tpu.estimate import AutoResolution
+        from tempestsdr_tpu.events import PLOT_ID, PlotEvent
+        from tempestsdr_tpu.stream import make_step, init_state
+        from tempestsdr_tpu.stream.pipeline import StepControls
+        from tempestsdr_tpu.sources.synthetic import render_test_pattern, synth_iq
+
+        sr = 16e6
+        cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
+                            block_samples=1 << 17)
+        K, M = (8, 2) if self.quick else (32, 6)
+        r = self._timed_scan(cfg, Params(), K, M, collect_ac=True)
+
+        # time-to-detect on a real (non-noise) capture, modest length
+        lines, twidth, refresh = 628, 424, 60.0
+        raster = render_test_pattern(lines, twidth)
+        step = jax.jit(make_step(cfg, Params(framerate_pll=False)),
+                       donate_argnums=0)
+        state = init_state(cfg)
+        tracker = AutoResolution(sr)
+        ctrl = StepControls.default()
+        f_off, _ = cfg.ac_frame_window
+        l_off, _ = cfg.ac_line_window
+        pos = 0
+        est = None
+        t0 = time.monotonic()
+        max_blocks = 80
+        for _ in range(max_blocks):
+            blk = synth_iq(raster, samplerate=sr,
+                           pixelclock=lines * twidth * refresh,
+                           n_samples=cfg.block_samples, start_sample=pos,
+                           noise=0.02, dtype=np.uint8)
+            pos += cfg.block_samples
+            state, out = step(state, jnp.asarray(blk), ctrl)
+            if bool(out.ac_plot_valid):
+                tracker.feed(PlotEvent(PLOT_ID.FRAME, f_off,
+                                       np.asarray(out.ac_frame_plot), sr))
+                est = tracker.feed(PlotEvent(PLOT_ID.LINE, l_off,
+                                             np.asarray(out.ac_line_plot), sr))
+                if est:
+                    break
+        wall = time.monotonic() - t0
+        if est:
+            ok = abs(est.refreshrate - refresh) < 0.5 and abs(est.height - lines) <= 6
+            r["detect_signal_s"] = round(pos / sr, 3)
+            r["detect_wall_s"] = round(wall, 2)
+            r["detect_correct"] = bool(ok)
+        else:
+            r["detect_correct"] = False
+        print(f"# config2 estimation@16MS/s: {r}", file=sys.stderr)
+        return r
+
+    def config3_averaging(self):
+        """Sync + 16-frame averaging: steady frames/s with motion blur 15/16
+        + the SNR gain it buys, measured against ground truth on a noisy
+        synthetic capture (dsp_timelowpass_run dsp.c:22-33)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tempestsdr_tpu.config import PipelineConfig
+        from tempestsdr_tpu.params import Params
+        from tempestsdr_tpu.stream import make_step, init_state
+        from tempestsdr_tpu.stream.pipeline import StepControls
+        from tempestsdr_tpu.sources.synthetic import render_test_pattern, synth_iq
+
+        sr = 16e6
+        cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
+                            block_samples=1 << 17, autocorr=False)
+        mb = 15.0 / 16.0  # 16-frame effective averaging window
+        K, M = (8, 2) if self.quick else (32, 6)
+        ctrl = None
+        import jax.numpy as jnp
+        from tempestsdr_tpu.stream.pipeline import StepControls as SC
+
+        ctrl = SC(jnp.int64(0), jnp.int32(0), jnp.float32(mb))
+        r = self._timed_scan(cfg, Params(), K, M, ctrl=ctrl)
+
+        # SNR gain: same noisy capture, mb=0 vs mb=15/16; SNR vs the clean
+        # expected frame after the averaging window settles
+        lines, twidth, refresh = 628, 424, 60.0
+        raster = render_test_pattern(lines, twidth)
+        params = Params(framerate_pll=False)
+        step = jax.jit(make_step(cfg, params), donate_argnums=0)
+
+        def run_mb(mbv, n_blocks=40):
+            state = init_state(cfg)
+            pos = 0
+            last = None
+            c = SC(jnp.int64(0), jnp.int32(0), jnp.float32(mbv))
+            for _ in range(n_blocks):
+                blk = synth_iq(raster, samplerate=sr,
+                               pixelclock=lines * twidth * refresh,
+                               n_samples=cfg.block_samples, start_sample=pos,
+                               noise=0.3, dtype=np.uint8)
+                pos += cfg.block_samples
+                state, out = step(state, jnp.asarray(blk), c)
+                if bool(out.frame_valid):
+                    last = np.asarray(out.frame)
+            return last
+
+        f_raw = run_mb(0.0)
+        f_avg = run_mb(mb)
+
+        def snr_db(f):
+            # signal model: correlate against the raw frame's clean structure
+            # is unknown here; use spatial SNR = mean/std of the flat blanking
+            # region (bottom rows are blanking in the test raster)
+            sig = f[: int(628 * 0.8)].std()
+            noise = f[int(628 * 0.9):].std()  # blanking: noise only
+            return 20 * np.log10(sig / max(noise, 1e-9))
+
+        r["snr_raw_db"] = round(float(snr_db(f_raw)), 2)
+        r["snr_avg_db"] = round(float(snr_db(f_avg)), 2)
+        r["snr_gain_db"] = round(r["snr_avg_db"] - r["snr_raw_db"], 2)
+        print(f"# config3 averaging@16MS/s: {r}", file=sys.stderr)
+        return r
+
+    def config4_wideband(self):
+        """64 MS/s flagship full pipeline — the headline chip-throughput."""
+        from tempestsdr_tpu.config import PipelineConfig
+        from tempestsdr_tpu.params import Params
+
+        cfg = PipelineConfig(samplerate=64e6, height=628, refreshrate=60.0,
+                            block_samples=1 << 19)
+        K, M = (8, 2) if self.quick else (48, 12)
+        r = self._timed_scan(cfg, Params(), K, M)
+        print(f"# config4 wideband@64MS/s: {r}", file=sys.stderr)
+        return r
+
+    def config5_channels(self, n_channels: int):
+        """n independent 16 MS/s emitters on one chip (uniform-cadence
+        channels step; the pod path shards the same step over a {ch} mesh)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from tempestsdr_tpu.config import PipelineConfig
+        from tempestsdr_tpu.params import Params
+        from tempestsdr_tpu.parallel.channels import stack_states
+        from tempestsdr_tpu.stream.pipeline import StepControls, make_channels_step
+
+        sr = 16e6
+        block = 1 << 17
+        K, M = (4, 2) if self.quick else (16, 4)
+        cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
+                            block_samples=block)
+        step = make_channels_step(cfg, Params())
+        ctrl = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n_channels,) + x.shape),
+            StepControls.default(),
+        )
+
+        def body(state, raw):
+            state, out = step(state, raw, ctrl)
+            return state, out.frame_valid
+
+        @jax.jit
+        def run(state, raws):
+            return lax.scan(body, state, raws)
+
+        rng = np.random.default_rng(0)
+        raws = jnp.asarray(
+            rng.integers(0, 256, size=(K, n_channels, 2 * block), dtype=np.uint8)
+        )
+        state = stack_states(cfg, n_channels)
+        t0 = time.monotonic()
+        state, fv = run(state, raws)
+        frames = int(np.asarray(fv).sum())
+        compile_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        fvs = []
+        for _ in range(M):
+            state, fv = run(state, raws)
+            fvs.append(fv)
+        frames += sum(int(np.asarray(f).sum()) for f in fvs)
+        dt = time.monotonic() - t0
+        msps = M * K * block * n_channels / dt / 1e6
+        r = {
+            "n_channels": n_channels,
+            "aggregate_MSps": round(msps, 1),
+            "per_channel_MSps": round(msps / n_channels, 2),
+            "x_realtime_per_channel": round(msps / n_channels / (sr / 1e6), 2),
+            "frames_per_s": round(frames / (dt + compile_s), 1),
+            "compile_s": round(compile_s, 1),
+        }
+        print(f"# config5 {n_channels}ch@16MS/s: {r}", file=sys.stderr)
+        return r
+
+
+def bench_mesh():
+    """Virtual-mesh scaling curve (SURVEY §7.6): time-sharded step wall time
+    vs shard count T on an 8-virtual-CPU-device mesh. The virtual devices
+    share one host's cores, so this measures the *overhead* the sharding
+    adds (collectives, halo exchange), not pod speedup — run it to catch
+    sharding regressions before a pod run exists. Spawns a clean CPU
+    subprocess (XLA device count must be set before jax initializes)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    if os.environ.get("TSDR_MESH_CHILD") != "1":
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS",
+                            "PALLAS_AXON_POOL_IPS")}
+        env.update(TSDR_MESH_CHILD="1", PYTHONPATH="/root/repo",
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        r = subprocess.run([_sys.executable, os.path.abspath(__file__), "--mesh"]
+                           + [a for a in _sys.argv[1:] if a != "--mesh"],
+                           env=env)
+        return r.returncode
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax import lax
+    from jax.sharding import Mesh
 
     from tempestsdr_tpu.config import PipelineConfig
     from tempestsdr_tpu.params import Params
-    from tempestsdr_tpu.parallel.channels import stack_states
-    from tempestsdr_tpu.stream.pipeline import StepControls, make_channels_step
+    from tempestsdr_tpu.parallel.timeshard import make_time_sharded_step
+    from tempestsdr_tpu.stream import init_state
+    from tempestsdr_tpu.stream.pipeline import StepControls
 
-    samplerate = 16e6
-    block = 1 << 17
-    K = 4 if quick else 16
-    M = 2 if quick else 4
-    cfg = PipelineConfig(samplerate=samplerate, height=628, refreshrate=60.0,
-                         block_samples=block)
-    step = make_channels_step(cfg, Params())
-
-    def body(state, raw):
-        state, out = step(state, raw,
-                          jax.tree.map(lambda x: jnp.broadcast_to(x[None], (n_channels,) + x.shape),
-                                       StepControls.default()))
-        return state, out.frame_valid
-
-    @jax.jit
-    def run(state, raws):
-        return lax.scan(body, state, raws)
-
+    quick = "--quick" in sys.argv
+    block = 1 << 15
+    cfg = PipelineConfig(samplerate=4e6, height=314, refreshrate=60.0,
+                        block_samples=block, autocorr=False)
+    params = Params(framerate_pll=False)
+    K = 4 if quick else 12
     rng = np.random.default_rng(0)
-    raws = jnp.asarray(
-        rng.integers(0, 256, size=(K, n_channels, 2 * block), dtype=np.uint8)
-    )
-    state = stack_states(cfg, n_channels)
-    t0 = time.monotonic()
-    state, fv = run(state, raws)
-    frames = int(np.asarray(fv).sum())
-    print(f"# channels compile+first: {time.monotonic()-t0:.1f}s", file=sys.stderr)
-    t0 = time.monotonic()
-    fvs = []
-    for _ in range(M):
+    raws = jnp.asarray(rng.integers(0, 256, size=(K, 2 * block), dtype=np.uint8))
+    curve = {}
+    for T in (1, 2, 4, 8):
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:T]).reshape(T), ("time",))
+        step = make_time_sharded_step(cfg, params, mesh)
+        ctrl = StepControls.default()
+
+        def run(state, raws):
+            for i in range(raws.shape[0]):
+                state, out = step(state, raws[i], ctrl)
+            return state, out.frame_valid
+
+        state = init_state(cfg)
+        state, _ = run(state, raws)  # warmup/compile
+        t0 = time.monotonic()
         state, fv = run(state, raws)
-        fvs.append(fv)
-    frames += sum(int(np.asarray(f).sum()) for f in fvs)
-    dt = time.monotonic() - t0
-    msps = M * K * block * n_channels / dt / 1e6
-    print(f"# {n_channels} channels at {samplerate/1e6:.0f} MS/s each: aggregate "
-          f"{msps:.1f} MS/s ({msps/n_channels:.1f}/ch); {frames} frames", file=sys.stderr)
+        _ = np.asarray(fv)
+        dt = time.monotonic() - t0
+        curve[T] = round(dt / K * 1e3, 2)
+        print(f"# mesh T={T}: {curve[T]} ms/block", file=sys.stderr)
+    overhead8 = round(curve[8] / curve[1], 2)
     print(json.dumps({
-        "metric": "aggregate_ingest_rate_multichannel",
-        "value": round(msps, 2),
-        "unit": "Msamples/s",
-        "vs_baseline": round(msps / REFERENCE_MSPS, 3),
+        "metric": "virtual_mesh_block_time_vs_shards",
+        "value": overhead8,
+        "unit": "x_T1_blocktime_at_T8",
+        "vs_baseline": 0.0,
+        "curve_ms_per_block": curve,
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

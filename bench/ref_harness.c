@@ -4,8 +4,11 @@
  * (SURVEY.md §7.8). Build + use: tests/test_parity_reference.py.
  *
  * usage: ref_harness <plugin.so> "<file rate fmt>" <height> <rate>
- *                    <out.bin> <max_frames> <skip_frames>
+ *                    <out.bin> <max_frames> <skip_frames> [values.txt]
  * out.bin: per frame [int32 width][int32 height][float32 w*h]
+ * values.txt (optional): one "id arg0 arg1" line per value callback, in
+ * order — captures the autogain min/max trajectory (VALUE_ID_AUTOGAIN=3,
+ * emitted every 7th frame per the dsp.c:231 runs++>5 quirk).
  */
 #include "TSDRLibrary.h"
 #include "TSDRCodes.h"
@@ -38,7 +41,10 @@ static void *watcher(void *arg) {
   tsdr_stop(tsdr);
   return NULL;
 }
-static void valuecb(int id, double a0, double a1, void *ctx) {}
+static FILE *valout = NULL;
+static void valuecb(int id, double a0, double a1, void *ctx) {
+  if (valout) fprintf(valout, "%d %.9g %.9g\n", id, a0, a1);
+}
 static void plotcb(int id, int off, double *v, int size, uint32_t sr, void *ctx) {}
 
 int main(int argc, char **argv) {
@@ -55,6 +61,7 @@ int main(int argc, char **argv) {
   out = fopen(argv[5], "wb");
   max_frames = atoi(argv[6]);
   skip = atoi(argv[7]);
+  if (argc > 8) valout = fopen(argv[8], "w");
   /* deterministic configuration: no PLL/autoshift, estimator off */
   tsdr_setparameter_int(tsdr, PARAM_INT_FRAMERATE_PLL, 0);
   tsdr_setparameter_int(tsdr, PARAM_INT_AUTOSHIFT, 0);
@@ -64,6 +71,7 @@ int main(int argc, char **argv) {
   tsdr_readasync(tsdr, framecb, NULL);
   pthread_join(th, NULL);
   fclose(out);
+  if (valout) fclose(valout);
   fprintf(stderr, "wrote %d frames (saw %d)\n", frames_written, frames_seen);
   return frames_written == max_frames ? 0 : 4;
 }

@@ -35,8 +35,12 @@ class TSDR:
     tsdr_sync              -> sync(pixels, direction)
     tsdr_motionblur        -> set_motionblur(coeff)
     tsdr_setparameter_int  -> set_param(param, value)
+    tsdr_setparameter_double -> set_parameter_double(param, value)
     tsdr_getlasterrortext  -> last_error
     tsdr_free              -> close()
+
+    (tsdr_getctx, the JNI context accessor, has no Python equivalent — the
+    `session` property plays that role.)
     """
 
     def __init__(
@@ -55,6 +59,7 @@ class TSDR:
         self._refreshrate = 60.0
         self._block_samples = block_samples
         self._last_error = ""
+        self._params_double = [0.0, 0.0]  # params_double[COUNT_PARAM_DOUBLE]
 
     # ---- source management ----
 
@@ -137,6 +142,19 @@ class TSDR:
         self._params = new
         if self._session is not None:
             self._session.set_params(new)
+
+    def set_parameter_double(self, param: int, value: float) -> None:
+        """tsdr_setparameter_double (TSDRLibrary.c:613-620): the reference
+        validates the id against COUNT_PARAM_DOUBLE (= 2) and then only
+        prints the value — no double parameter is ever consumed by the DSP.
+        Mirror that surface: accept ids 0-1 (stored for symmetry), raise
+        INVALID_PARAMETER otherwise."""
+        if not 0 <= int(param) < 2:
+            raise TSDRError(
+                TSDRStatus.INVALID_PARAMETER,
+                "Invalid double floating point parameter id",
+            )
+        self._params_double[int(param)] = float(value)
 
     # ---- streaming ----
 

@@ -21,6 +21,15 @@ import math
 
 FRAC_BITS = 40  # fixed-point fractional bits for resampler phase arithmetic
 
+# Static headroom for the frame-rate PLL's refresh-rate excursion, as a
+# fraction of the nominal rate. Every statically-sized resampler buffer
+# (max_block_pixels, strided taps_eff, sharded pixel ownership) is derived
+# assuming |refresh_delta| <= PLL_HEADROOM_FRAC * refreshrate; framerate_pll
+# clamps its delta to this bound (the reference instead re-derives geometry
+# on every nudge, set_internal_samplerate TSDRLibrary.c:540-550 — here
+# geometry is static, so an unbounded walk would silently truncate frames).
+PLL_HEADROOM_FRAC = 0.002
+
 # Estimator constants (frameratedetector.c:20-24)
 MIN_FRAMERATE = 55
 MAX_FRAMERATE = 87

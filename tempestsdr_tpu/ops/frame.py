@@ -11,10 +11,12 @@ Mirrors TempestSDR/src/dsp.c:
                          feeding sync detection
 
 The scalar loops become reductions; XLA fuses them with neighbours. The
-reference accumulates sums in double — XLA's tree reductions in f32 stay
-within the parity SNR bound for <=16M-pixel frames (tested); the collapse
-profiles are computed in f64 because the sync detector's sliding-strip metric
-differences are tiny (syncdetector.c uses double throughout).
+reference's autogain/SNR sums accumulate in double (dsp.c:52-91) while
+dsp_average_v_h accumulates into plain float buffers (dsp.c:96-110) — XLA's
+f32 tree reductions stay within the parity SNR bound for <=16M-pixel frames
+(tested); the collapse profiles are *widened* to f64 (strictly more precise
+than the reference's float accumulate) because the sync detector's
+sliding-strip metric differences are tiny (syncdetector.c uses double).
 """
 
 from __future__ import annotations
@@ -69,12 +71,13 @@ def autogain_run(frame: jnp.ndarray, lastmin, lastmax, norm: float = 0.1):
 def collapse_v_h(frame: jnp.ndarray, precise: bool = True):
     """Column and row sums of an (H, W) frame (dsp.c:96-110).
 
-    Returns (width_profile f64[W], height_profile f64[H]). `precise=True`
-    accumulates in f64 like the reference's double loop — right for CPU
-    parity tests, but f64 is software-emulated on TPU and this is the only
-    many-megapixel f64 op in the pipeline; `precise=False` accumulates in
-    f32 (XLA tree reduction) and widens the ~4k-element profiles afterwards,
-    which is well within the sync detector's strip-contrast tolerance.
+    Returns (width_profile f64[W], height_profile f64[H]). The reference
+    accumulates into float buffers (dsp.c:96-110); `precise=True` accumulates
+    in f64 — strictly MORE precise than the reference, kept for deterministic
+    CPU parity tests — but f64 is software-emulated on TPU and this is the
+    only many-megapixel f64 op in the pipeline; `precise=False` accumulates
+    in f32 (XLA tree reduction, closest to the reference's float loop) and
+    widens the ~4k-element profiles afterwards.
     """
     dt = jnp.float64 if precise else jnp.float32
     wprof = jnp.sum(frame, axis=0, dtype=dt).astype(jnp.float64)

@@ -222,7 +222,7 @@ def box_resample_gather_i32(
 
 
 def plan_strided(inv_nominal: float, taps: int, *, L: int | None = None,
-                 pll_frac: float = 0.002, max_drift: float = 6.0):
+                 pll_frac: float | None = None, max_drift: float = 6.0):
     """Feasibility plan for box_resample_strided.
 
     The strided form needs m pixels to advance ~exactly one sample
@@ -236,6 +236,10 @@ def plan_strided(inv_nominal: float, taps: int, *, L: int | None = None,
     Returns (m, taps_eff, L) or None if the geometry doesn't fit (then use
     the dense chunked form).
     """
+    if pll_frac is None:
+        from ..config import PLL_HEADROOM_FRAC
+
+        pll_frac = PLL_HEADROOM_FRAC  # framerate_pll clamps delta to this
     if inv_nominal <= 0 or inv_nominal > 1.0:
         return None  # downsampling: dense form
     m = max(int(round(1.0 / inv_nominal)), 1)

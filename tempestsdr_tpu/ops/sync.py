@@ -146,8 +146,18 @@ def find_the_sweet_spot(
     return SweetspotState(beststripsize, dx1, vx), data, beststripstart
 
 
-def framerate_pll(pll: PLLState, vx, *, enabled: bool) -> PLLState:
-    """PLL update from the horizontal-axis velocity (syncdetector.c:133-153)."""
+def framerate_pll(
+    pll: PLLState, vx, *, enabled: bool, max_delta: float | None = None
+) -> PLLState:
+    """PLL update from the horizontal-axis velocity (syncdetector.c:133-153).
+
+    max_delta: static clamp on |refresh_delta| (Hz). The reference re-derives
+    geometry on every nudge (set_internal_samplerate); here every resampler
+    buffer is statically sized for a bounded excursion
+    (config.PLL_HEADROOM_FRAC), so an unlocked walk tracking a mis-specified
+    refresh rate must saturate rather than silently overrun the static
+    n_out/taps budgets. A saturated PLL means the nominal rate is wrong —
+    restart with a corrected config (the auto-resolution path does)."""
     avg = pll.avg_speed * 0.99 + 0.01 * vx.astype(jnp.float64)
     locked = (avg < FRAMERATE_PLL_LOCKED_VALUE) & (avg > -FRAMERATE_PLL_LOCKED_VALUE)
     if not enabled:
@@ -157,4 +167,7 @@ def framerate_pll(pll: PLLState, vx, *, enabled: bool) -> PLLState:
     )
     diff = jnp.where(vx == 0, 0.0, diff)
     delta = pll.refresh_delta - diff.astype(jnp.float32)
+    if max_delta is not None:
+        lim = jnp.float32(max_delta)
+        delta = jnp.clip(delta, -lim, lim)
     return PLLState(avg, locked, delta)

@@ -138,7 +138,7 @@ def box_resample_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 1, TILE_P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((w_in, 1), jnp.float32),

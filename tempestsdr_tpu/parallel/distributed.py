@@ -44,12 +44,28 @@ def make_global_mesh(n_channel: int, n_time: int) -> Mesh:
     return Mesh(arr, ("ch", "time"))
 
 
+def channel_row_bounds(n_channels_global: int, ch_rows: int) -> list:
+    """Block distribution of channels over the 'ch' axis rows: row r owns
+    channels [bounds[r], bounds[r+1]). Non-divisible counts spread the
+    remainder over the first rows (standard balanced blocks)."""
+    if ch_rows <= 0:
+        raise ValueError("mesh has no 'ch' rows")
+    per, rem = divmod(n_channels_global, ch_rows)
+    bounds = [0]
+    for r in range(ch_rows):
+        bounds.append(bounds[-1] + per + (1 if r < rem else 0))
+    return bounds
+
+
 def local_channel_slice(mesh: Mesh, n_channels_global: int) -> slice:
     """Which global channel indices this host should feed: channels are
-    block-distributed over the 'ch' axis in mesh order; a host feeds the
-    channels whose row-devices are local (addressable)."""
+    block-distributed over the 'ch' axis in mesh order (balanced blocks,
+    remainder on the first rows); a host feeds the channels whose
+    row-devices are local (addressable). Raises if this host's rows are
+    non-contiguous (cannot happen with jax.devices() process grouping, but
+    a hand-built mesh could)."""
     ch_rows = mesh.devices.shape[0]
-    per_row = n_channels_global // ch_rows
+    bounds = channel_row_bounds(n_channels_global, ch_rows)
     local_rows = [
         r
         for r in range(ch_rows)
@@ -57,4 +73,11 @@ def local_channel_slice(mesh: Mesh, n_channels_global: int) -> slice:
     ]
     if not local_rows:
         return slice(0, 0)
-    return slice(min(local_rows) * per_row, (max(local_rows) + 1) * per_row)
+    lo, hi = min(local_rows), max(local_rows)
+    if local_rows != list(range(lo, hi + 1)):
+        raise ValueError(
+            "this host's 'ch' rows are non-contiguous; build the mesh in "
+            "jax.devices() order (make_global_mesh) so each host's channels "
+            "form one block"
+        )
+    return slice(bounds[lo], bounds[hi + 1])

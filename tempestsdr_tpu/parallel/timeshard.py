@@ -100,19 +100,21 @@ def _make_body(config: PipelineConfig, params: Params, T: int):
             round_done = ac_fill >= ac_round
 
             def ac_round_fn(ops):
-                buf, avg_f, avg_l, calls = ops
+                buf, avg_f, avg_l, calls, last_full = ops
                 r = autocorrelation_magnitude(buf[:ac_fft])
                 calls = calls + 1
                 avg_f = accumulate_running_mean(avg_f, r[fw_off : fw_off + fw_len], calls)
                 avg_l = accumulate_running_mean(avg_l, r[lw_off : lw_off + lw_len], calls)
+                last_full = r[: ac_fft // 2]
                 buf = jnp.concatenate([buf[ac_round:], jnp.zeros((ac_round,), jnp.float32)])
-                return buf, avg_f, avg_l, calls
+                return buf, avg_f, avg_l, calls, last_full
 
-            ac_buf, ac_avg_frame, ac_avg_line, ac_calls = lax.cond(
+            ac_buf, ac_avg_frame, ac_avg_line, ac_calls, ac_last_full = lax.cond(
                 round_done,
                 ac_round_fn,
                 lambda ops: ops,
-                (ac_buf, state.ac_avg_frame, state.ac_avg_line, state.ac_calls),
+                (ac_buf, state.ac_avg_frame, state.ac_avg_line, state.ac_calls,
+                 state.ac_last_full),
             )
             ac_fill = jnp.where(round_done, ac_fill - ac_round, ac_fill)
         else:
@@ -123,6 +125,7 @@ def _make_body(config: PipelineConfig, params: Params, T: int):
                 state.ac_avg_line,
                 state.ac_calls,
             )
+            ac_last_full = state.ac_last_full
 
         # ---- optional FIR with left-halo exchange (overlap-save)
         if fir_n:
@@ -246,6 +249,7 @@ def _make_body(config: PipelineConfig, params: Params, T: int):
             ac_avg_frame=ac_avg_frame,
             ac_avg_line=ac_avg_line,
             ac_calls=ac_calls,
+            ac_last_full=ac_last_full,
         )
         outputs = StepOutputs(
             frame=frame_out,

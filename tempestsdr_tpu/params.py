@@ -55,6 +55,11 @@ class Params:
     # syncdetector.c:209-218); off by default so frames are clean data.
     fir_lowpass_taps: int = 0  # 0 = no FIR (reference has none); >0 enables a
     # windowed-sinc anti-alias FIR before resampling.
+    resampler: str = "auto"  # box-resampler implementation: "auto" (strided
+    # when the geometry is near-rational, else chunked), "strided", "chunked",
+    # "pallas" (Mosaic kernel, in-kernel DMA), or "pallas_windows" (Mosaic
+    # weight+reduce on XLA-gathered windows). All produce identical carries;
+    # nearest_neighbour=True overrides. Static (recompile boundary).
 
     def replace(self, **kw) -> "Params":
         return dataclasses.replace(self, **kw)

@@ -32,6 +32,7 @@ from jax import lax
 
 from ..config import (
     FRAC_BITS,
+    PLL_HEADROOM_FRAC,
     PipelineConfig,
     NORMALISATION_LOWPASS_COEFF,
     PIXEL_SPECIAL_VALUE_G,
@@ -57,6 +58,31 @@ from ..ops.autocorr import accumulate_running_mean, autocorrelation_magnitude
 from .state import StreamState, StepOutputs
 
 
+def _pick_resampler(config: PipelineConfig, params: Params):
+    """Resolve Params.resampler to a box-resampler implementation. All
+    variants share the exact int64 fixed-point carry contract, so the choice
+    only affects speed (measured per-variant in bench/profile_stages.py)."""
+    choice = params.resampler
+    if choice == "auto":
+        return (
+            box_resample_strided
+            if plan_strided(config.samples_per_pixel, config.resample_taps) is not None
+            else box_resample_block_chunked
+        )
+    if choice == "strided":
+        return box_resample_strided
+    if choice == "chunked":
+        return box_resample_block_chunked
+    if choice in ("pallas", "pallas_windows"):
+        from ..pallas.resample_kernel import (
+            box_resample_pallas,
+            box_resample_pallas_windows,
+        )
+
+        return box_resample_pallas if choice == "pallas" else box_resample_pallas_windows
+    raise ValueError(f"unknown resampler {choice!r}")
+
+
 class StepControls(NamedTuple):
     """Per-block host inputs (the interactive-control surface of
     TSDRLibrary.c: tsdr_sync, motionblur, plugin-reported drops)."""
@@ -78,7 +104,12 @@ def _sync_detect(config: PipelineConfig, params: Params, data2d, sync_x, sync_y,
     sy, _, _ = find_the_sweet_spot(
         sync_y, hprof, int(config.height * np.float32(0.01)), FRAMERATE_DX_LOWPASS_COEFF_HEIGHT
     )
-    pll = framerate_pll(pll, sx.vx, enabled=params.framerate_pll)
+    pll = framerate_pll(
+        pll,
+        sx.vx,
+        enabled=params.framerate_pll,
+        max_delta=PLL_HEADROOM_FRAC * config.refreshrate,
+    )
 
     if params.autoshift:
         # quadrant rotation (syncdetector.c:187-207) == circular shift moving
@@ -210,15 +241,7 @@ def _make_step_parts(config: PipelineConfig, params: Params):
                 env, phase, inv_fix, n_samples=n, max_pix=max_pix
             )
         else:
-            # strided form when the geometry is near-rational (the standard
-            # 2x-oversampling case always is) — ~1.6x faster than the dense
-            # chunked form; identical carries either way
-            resample = (
-                box_resample_strided
-                if plan_strided(config.samples_per_pixel, taps) is not None
-                else box_resample_block_chunked
-            )
-            pixels, n_out, phase2 = resample(
+            pixels, n_out, phase2 = _pick_resampler(config, params)(
                 x_ext,
                 phase,
                 inv_fix,
@@ -265,13 +288,16 @@ def _make_step_parts(config: PipelineConfig, params: Params):
         return inter
 
     def ac_round_fn(ops):
-        buf, avg_f, avg_l, calls = ops
+        buf, avg_f, avg_l, calls, last_full = ops
         r = autocorrelation_magnitude(buf[:ac_fft])
         calls = calls + 1
         avg_f = accumulate_running_mean(avg_f, r[fw_off : fw_off + fw_len], calls)
         avg_l = accumulate_running_mean(avg_l, r[lw_off : lw_off + lw_len], calls)
+        # raw current-round half-range, kept for the full CSV dump
+        # (dump_autocorrect frameratedetector.c:64-85)
+        last_full = r[: ac_fft // 2]
         buf = jnp.concatenate([buf[ac_round:], jnp.zeros((ac_round,), jnp.float32)])
-        return buf, avg_f, avg_l, calls
+        return buf, avg_f, avg_l, calls, last_full
 
     def emit_fn(ops):
         framebuf, fill2, screen, ag, sx, sy, pll, motionblur = ops
@@ -302,10 +328,16 @@ def _make_step_parts(config: PipelineConfig, params: Params):
         )
 
     def ac_ops_of(state: StreamState, inter):
-        return (inter["ac_buf"], state.ac_avg_frame, state.ac_avg_line, state.ac_calls)
+        return (
+            inter["ac_buf"],
+            state.ac_avg_frame,
+            state.ac_avg_line,
+            state.ac_calls,
+            state.ac_last_full,
+        )
 
     def assemble(state: StreamState, inter, ac_ops, emit_ops, frame_out):
-        ac_buf, ac_avg_frame, ac_avg_line, ac_calls = ac_ops
+        ac_buf, ac_avg_frame, ac_avg_line, ac_calls, ac_last_full = ac_ops
         framebuf, fill, screen, ag, sync_x, sync_y, pll, _mb = emit_ops
         emit = inter["emit"]
         new_state = StreamState(
@@ -329,6 +361,7 @@ def _make_step_parts(config: PipelineConfig, params: Params):
             ac_avg_frame=ac_avg_frame,
             ac_avg_line=ac_avg_line,
             ac_calls=ac_calls,
+            ac_last_full=ac_last_full,
         )
         outputs = StepOutputs(
             frame=frame_out,

@@ -85,6 +85,9 @@ class Session:
         self._agruns = 0
         self._last_refresh = None
         self._last_plots: list = []
+        # cumulative source-reported drops (UHD/Mirics samples_dropped
+        # semantics, TSDRPlugin.h:49) — observability for overload diagnosis
+        self.samples_dropped_total = 0
         from ..utils.profiling import IngestMeter
 
         self.meter = IngestMeter()
@@ -174,22 +177,36 @@ class Session:
         """PARAM_AUTOCORR_PLOTS_RESET equivalent."""
         self._pending_ac_reset = True
 
-    def dump_autocorr(self, path: str = "autocorr.csv") -> bool:
-        """PARAM_AUTOCORR_DUMP equivalent: write the accumulated
-        autocorrelation to CSV as "ms, dB" rows (dump_autocorrect,
-        frameratedetector.c:64-85). Dumps the frame-rate and line-rate lag
-        windows the estimator accumulates (the reference dumps the full raw
-        lag range; the windows are the analyzed subset). Returns False if no
+    def dump_autocorr(self, path: str = "autocorr.csv", windows: bool = False) -> bool:
+        """PARAM_AUTOCORR_DUMP equivalent: write the latest round's raw
+        autocorrelation half-range |R(j)| to CSV as "ms, dB" rows, exactly
+        like dump_autocorrect (frameratedetector.c:64-85: t = 1000*lag/sr,
+        dB = 10*log10(|R|), full half-range of the pow2 FFT, raw — not the
+        running average). `windows=True` instead dumps the two accumulated
+        analysis windows (a TPU-native extra). Returns False if no
         estimation round has completed yet."""
-        if not self._last_plots:
+        if windows:
+            if not self._last_plots:
+                return False
+            with open(path, "w") as f:
+                f.write("ms, dB\n")
+                for ev in self._last_plots:
+                    t = (ev.offset + np.arange(len(ev.values))) / ev.samplerate * 1000.0
+                    db = 10.0 * np.log10(np.maximum(np.abs(ev.values), 1e-30))
+                    for ti, di in zip(t, db):
+                        f.write(f"{ti:f}, {di:f}\n")
+            self._emit_value(ValueEvent(VALUE_ID.AUTOCORRECT_DUMPED, 0, 0))
+            return True
+        if int(np.asarray(self.state.ac_calls)) == 0:
             return False
+        r = np.asarray(self.state.ac_last_full)
+        sr = self.config.samplerate
+        t = np.arange(r.shape[0]) / sr * 1000.0
+        db = 10.0 * np.log10(np.maximum(np.abs(r), 1e-300))
         with open(path, "w") as f:
             f.write("ms, dB\n")
-            for ev in self._last_plots:
-                t = (ev.offset + np.arange(len(ev.values))) / ev.samplerate * 1000.0
-                db = 10.0 * np.log10(np.maximum(np.abs(ev.values), 1e-30))
-                for ti, di in zip(t, db):
-                    f.write(f"{ti:f}, {di:f}\n")
+            for ti, di in zip(t, db):
+                f.write(f"{ti:f}, {di:f}\n")
         self._emit_value(ValueEvent(VALUE_ID.AUTOCORRECT_DUMPED, 0, 0))
         return True
 
@@ -245,7 +262,7 @@ class Session:
         blocks = 0
         frames = 0
         pending_raws: list = []
-        pending_dropped = 0
+        pending_dropped: list = []
         try:
             for blk in self.source.stream(self.config.block_samples):
                 if not self._running:
@@ -257,19 +274,23 @@ class Session:
                     self._pending_ac_reset = False
                     self._emit_value(ValueEvent(VALUE_ID.AUTOCORRECT_RESET, 0, 0))
                 if self.batch_blocks > 1:
+                    # each block's drop count rides at its own scan slot so
+                    # compensation fires at the drop's true stream position
+                    # (summing into slot 0 would skip up to batch-1 blocks
+                    # early)
                     pending_raws.append(np.asarray(blk.samples))
-                    pending_dropped += blk.dropped
+                    pending_dropped.append(blk.dropped)
+                    self.samples_dropped_total += blk.dropped
                     if len(pending_raws) < self.batch_blocks:
                         continue
                     k = self.batch_blocks
-                    dropped_arr = np.zeros(k, np.int64)
-                    dropped_arr[0] = pending_dropped
+                    dropped_arr = np.asarray(pending_dropped, np.int64)
                     sync_arr = np.zeros(k, np.int32)
                     sync_arr[0] = self._pending_sync
                     self._pending_sync = 0
                     raws = jnp.asarray(np.stack(pending_raws))
                     pending_raws = []
-                    pending_dropped = 0
+                    pending_dropped = []
                     self.state, outs = self._scan(
                         self.state, raws, jnp.asarray(dropped_arr),
                         jnp.asarray(sync_arr), jnp.float32(self._motionblur)
@@ -282,6 +303,7 @@ class Session:
                         frames += got
                         self.meter.update(self.config.block_samples, got)
                 else:
+                    self.samples_dropped_total += blk.dropped
                     controls = StepControls(
                         jnp.int64(blk.dropped),
                         jnp.int32(self._pending_sync),
@@ -342,6 +364,11 @@ class Session:
                     break
                 if self._pending_params is not None:
                     self._apply_pending_params()
+                if self._pending_ac_reset:
+                    self.state = reset_autocorr(self.state)
+                    self._pending_ac_reset = False
+                    self._emit_value(ValueEvent(VALUE_ID.AUTOCORRECT_RESET, 0, 0))
+                self.samples_dropped_total += blk.dropped
                 raw = np.asarray(blk.samples)
                 f = _normalize_host(raw)
                 iq = (f[0::2] + 1j * f[1::2]).astype(np.complex64)
@@ -408,13 +435,17 @@ class Session:
             if self.params.framerate_pll and rr != self._last_refresh:
                 self._last_refresh = rr
                 self._emit_value(ValueEvent(VALUE_ID.PLL_FRAMERATE, rr, 0))
-            self._agruns += 1
-            if self._agruns > AUTOGAIN_REPORT_EVERY_FRAMES:  # dsp.c:231-235
+            # reference cadence quirk (dsp.c:231-235 `runs++ > 5`): the
+            # pre-increment compare makes the first report land on frame 7
+            # and repeat every 7 frames, not every 5 — match it exactly
+            if self._agruns > AUTOGAIN_REPORT_EVERY_FRAMES:
                 self._agruns = 0
                 self._emit_value(
                     ValueEvent(VALUE_ID.AUTOGAIN_VALUES, float(out.ag_min), float(out.ag_max))
                 )
                 self._emit_value(ValueEvent(VALUE_ID.SNR, float(out.ag_snr), 0))
+            else:
+                self._agruns += 1
         if bool(out.ac_plot_valid):
             sr = self.config.samplerate
             f_off, _ = self.config.ac_frame_window

@@ -47,6 +47,10 @@ class StreamState(NamedTuple):
     ac_avg_frame: jnp.ndarray  # f32[frame_window]
     ac_avg_line: jnp.ndarray  # f32[line_window]
     ac_calls: jnp.ndarray  # i32 — extbuffer-style round counter
+    ac_last_full: jnp.ndarray  # f32[ac_fft//2] — latest round's raw |R(j)|
+    # half-range, for the full CSV dump (dump_autocorrect
+    # frameratedetector.c:64-85 dumps the raw current-round autocorrelation,
+    # not the running average)
 
 
 class StepOutputs(NamedTuple):
@@ -94,6 +98,9 @@ def init_state(config: PipelineConfig, fir_ntaps: int = 0) -> StreamState:
         ac_avg_frame=jnp.zeros((fw,), jnp.float32),
         ac_avg_line=jnp.zeros((lw,), jnp.float32),
         ac_calls=jnp.int32(0),
+        ac_last_full=jnp.zeros(
+            (config.ac_fft_size // 2 if config.autocorr else 1,), jnp.float32
+        ),
     )
 
 
@@ -120,4 +127,5 @@ def reset_autocorr(state: StreamState) -> StreamState:
         ac_avg_frame=jnp.zeros_like(state.ac_avg_frame),
         ac_avg_line=jnp.zeros_like(state.ac_avg_line),
         ac_calls=jnp.int32(0),
+        ac_last_full=jnp.zeros_like(state.ac_last_full),
     )

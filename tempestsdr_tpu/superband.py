@@ -43,15 +43,17 @@ def _abs_diff(iq: jnp.ndarray) -> jnp.ndarray:
 
 def best_alignment(ref_iq: jnp.ndarray, other_iq: jnp.ndarray) -> jnp.ndarray:
     """Lag (complex samples) aligning `other` to `ref` by cross-correlating
-    envelope derivatives (superb_bestfit, superbandwidth.c:83-119). Searches
-    lags [0, n/2) like the reference."""
-    n = ref_iq.shape[0]
+    envelope derivatives (superb_bestfit, superbandwidth.c:83-119). The
+    reference scans the FULL lag range [0, n) (its loop over `samples`
+    complex outputs, :104-117) with a strictly-greater update — i.e.
+    first-wins argmax, which jnp.argmax matches."""
     a = jnp.fft.fft(_abs_diff(ref_iq).astype(jnp.complex64))
     b = jnp.fft.fft(_abs_diff(other_iq).astype(jnp.complex64))
     # reference bin product is conj(A)*B (fft.c:80-89), peak lands at the
     # shift applied to `other`; roll(other, -lag) aligns it to ref
+    # (superb_ondataready's three-memcpy left rotation, :135-138)
     xc = jnp.abs(jnp.fft.ifft(jnp.conj(a) * b))
-    return jnp.argmax(xc[: n // 2]).astype(jnp.int32)
+    return jnp.argmax(xc).astype(jnp.int32)
 
 
 @jax.jit

@@ -296,3 +296,31 @@ def test_sweetspot_matches_oracle():
     assert int(st2.stripsize) == rss
     assert int(st2.dx) == rdx
     assert int(st2.vx) == rvx
+
+
+def test_framerate_pll_clamps_to_static_headroom():
+    """The PLL delta must saturate at PLL_HEADROOM_FRAC * nominal: every
+    resampler buffer (max_block_pixels, strided taps_eff) is statically
+    sized for that excursion, so an unbounded unlocked walk would silently
+    truncate frames (the reference instead re-derives geometry,
+    set_internal_samplerate TSDRLibrary.c:540-550)."""
+    from tempestsdr_tpu.config import PLL_HEADROOM_FRAC
+    from tempestsdr_tpu.ops.sync import PLLState, framerate_pll
+
+    nominal = 60.0
+    lim = PLL_HEADROOM_FRAC * nominal
+    pll = PLLState.init()
+    # hammer with a large constant velocity: unlocked speed 1e-5 * 1000
+    for _ in range(50):
+        pll = framerate_pll(pll, jnp.int32(1000), enabled=True, max_delta=lim)
+    assert abs(float(pll.refresh_delta)) <= lim + 1e-7
+    # and the other direction
+    pll = PLLState.init()
+    for _ in range(50):
+        pll = framerate_pll(pll, jnp.int32(-1000), enabled=True, max_delta=lim)
+    assert abs(float(pll.refresh_delta)) <= lim + 1e-7
+    # small velocities stay unclamped (normal tracking unaffected):
+    # vx=1 from init -> avg=0.01 -> locked branch, nudge = avg*1e-6 = 1e-8
+    pll = PLLState.init()
+    pll = framerate_pll(pll, jnp.int32(1), enabled=True, max_delta=lim)
+    assert abs(float(pll.refresh_delta)) == pytest.approx(1e-8, rel=1e-3)

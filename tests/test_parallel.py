@@ -203,3 +203,61 @@ def test_channels_step_matches_per_channel():
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(n_channel=4, n_time=4)  # 16 > 8 devices
+
+
+def test_channel_row_bounds_balanced():
+    from tempestsdr_tpu.parallel.distributed import channel_row_bounds
+
+    assert channel_row_bounds(8, 4) == [0, 2, 4, 6, 8]
+    # non-divisible: remainder spreads over the first rows
+    assert channel_row_bounds(10, 4) == [0, 3, 6, 8, 10]
+    assert channel_row_bounds(3, 4) == [0, 1, 2, 3, 3]
+    with pytest.raises(ValueError):
+        channel_row_bounds(4, 0)
+
+
+def test_local_channel_slice_single_host_and_mock_multi():
+    from types import SimpleNamespace
+
+    from tempestsdr_tpu.parallel.distributed import (
+        local_channel_slice,
+        make_global_mesh,
+    )
+
+    # real mesh on the 8 virtual devices: single process owns everything
+    mesh = make_global_mesh(4, 2)
+    assert local_channel_slice(mesh, 8) == slice(0, 8)
+    assert local_channel_slice(mesh, 10) == slice(0, 10)  # non-divisible
+
+    # mock 2-host mesh (duck-typed: the function only reads .devices and
+    # each device's .process_index)
+    me = jax.process_index()
+
+    def fake(proc):
+        return SimpleNamespace(process_index=proc)
+
+    rows = np.array(
+        [[fake(me), fake(me)], [fake(me), fake(me)],
+         [fake(me + 1), fake(me + 1)], [fake(me + 1), fake(me + 1)]]
+    )
+    mock = SimpleNamespace(devices=rows)
+    assert local_channel_slice(mock, 10) == slice(0, 6)  # rows 0-1 -> 3+3 ch
+    other = SimpleNamespace(
+        devices=np.array([[fake(me + 1)], [fake(me + 1)]])
+    )
+    assert local_channel_slice(other, 4) == slice(0, 0)  # nothing local
+    # non-contiguous local rows must be rejected
+    bad = SimpleNamespace(
+        devices=np.array([[fake(me)], [fake(me + 1)], [fake(me)]])
+    )
+    with pytest.raises(ValueError):
+        local_channel_slice(bad, 6)
+
+
+def test_make_global_mesh_validates_device_count():
+    from tempestsdr_tpu.parallel.distributed import make_global_mesh
+
+    with pytest.raises(ValueError):
+        make_global_mesh(4, 4)  # needs 16, virtual harness has 8
+    m = make_global_mesh(2, 4)
+    assert m.shape == {"ch": 2, "time": 4}

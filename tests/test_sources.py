@@ -144,3 +144,117 @@ def test_native_ring_drop_accounting():
     got = ring.read_into(memoryview(buf))
     assert got == 600 and bytes(buf[:512]) == b"a" * 512
     ring.close()
+
+
+def test_simulated_live_source_seam_end_to_end():
+    """The live-plugin seam (TSDRPlugin_UHD.cpp:264-294 semantics) driven
+    through a full Session: an independent producer thread pushes paced IQ
+    into the native ring in non-blocking CB_FULL mode; overflow drops are
+    genuinely missing samples reported via samples_dropped; the pipeline's
+    whole-frame compensation keeps the raster aligned across the overload."""
+    import jax
+    import numpy as np
+    from tempestsdr_tpu import native as native_io
+    from tempestsdr_tpu.config import PipelineConfig
+    from tempestsdr_tpu.params import Params
+    from tempestsdr_tpu.sources.base import load_source
+    from tempestsdr_tpu.stream.session import Session, SessionCallbacks
+
+    if not native_io.available():
+        pytest.skip("native IO runtime unavailable")
+
+    lines, twidth, refresh, sr = 100, 200, 50.0, 1e6
+    # ring=2 chunks: pausing the consumer mid-run guarantees overflow.
+    src = load_source("simlive", f"{lines} {twidth} {refresh} {sr} 0.0 pace=0 ring=2")
+    cfg = PipelineConfig(samplerate=sr, height=lines, refreshrate=refresh,
+                         block_samples=8192, autocorr=False)
+    frames = []
+    sess = Session(cfg, Params(framerate_pll=False), src,
+                   SessionCallbacks(on_frame=frames.append))
+
+    # Phase 1: streaming works with the producer live (pace=0 = produce at
+    # full speed; a 2-chunk ring may already overflow, which is fine).
+    n_warm = sess.run(max_frames=8)
+    assert n_warm == 8
+    baseline = frames[-1]
+
+    # Phase 2: stall the consumer while the producer keeps going — the tiny
+    # ring MUST overflow (chunk ~0.06 s, stall 0.5 s >> 2-chunk capacity).
+    frames.clear()
+    src2 = load_source("simlive", f"{lines} {twidth} {refresh} {sr} 0.0 pace=1 ring=2")
+    sess2 = Session(cfg, Params(framerate_pll=False), src2,
+                    SessionCallbacks(on_frame=frames.append))
+    stream_iter = iter(src2.stream(cfg.block_samples))
+    # drive the session loop manually to inject the stall deterministically
+    import time
+    from tempestsdr_tpu.stream.pipeline import StepControls
+    import jax.numpy as jnp
+
+    dropped_total = 0
+    got_frames = []
+    for i, blk in enumerate(stream_iter):
+        if i == 4:
+            time.sleep(0.8)  # consumer stall: >> ring capacity in time
+        dropped_total += blk.dropped
+        ctrl = StepControls(jnp.int64(blk.dropped), jnp.int32(0), jnp.float32(0.0))
+        sess2.state, out = sess2._step(sess2.state, jnp.asarray(blk.samples), ctrl)
+        if bool(out.frame_valid):
+            got_frames.append(np.asarray(out.frame))
+        if len(got_frames) >= 14:
+            break
+    src2.stop()
+    assert dropped_total > 0, "stalled consumer never overflowed the ring"
+    # drops must be whole chunks (the ring drops whole pushes like CB_FULL)
+    chunk = max(int(0.06 * sr), 1024)
+    assert dropped_total % chunk == 0
+    # raster stays frame-aligned after the overload: late frames correlate
+    # with the pre-stall baseline
+    post = got_frames[-1]
+    cc = np.corrcoef(post.ravel(), baseline.ravel())[0, 1]
+    assert cc > 0.9, f"raster lost alignment across live overload: corr {cc}"
+
+
+def test_session_tracks_dropped_total():
+    """samples_dropped propagates into Session.samples_dropped_total."""
+    from tempestsdr_tpu.config import PipelineConfig
+    from tempestsdr_tpu.params import Params
+    from tempestsdr_tpu.sources.base import Source, SourceBlock
+    from tempestsdr_tpu.sources.synthetic import render_test_pattern, synth_iq
+    from tempestsdr_tpu.stream.session import Session, SessionCallbacks
+
+    lines, twidth, refresh, sr = 100, 200, 50.0, 1e6
+
+    class Droppy(Source):
+        def init(self, params):
+            self.raster = render_test_pattern(lines, twidth)
+            self.pos = 0
+            self.block = 0
+
+        def name(self):
+            return "droppy"
+
+        def samplerate(self):
+            return sr
+
+        def stream(self, block_samples):
+            while True:
+                dropped = 7777 if self.block == 3 else 0
+                self.pos += dropped
+                blk = synth_iq(self.raster, samplerate=sr,
+                               pixelclock=lines * twidth * refresh,
+                               n_samples=block_samples, start_sample=self.pos,
+                               noise=0.0)
+                self.pos += block_samples
+                self.block += 1
+                yield SourceBlock(blk, dropped)
+
+        def stop(self):
+            pass
+
+    src = Droppy()
+    src.init("")
+    cfg = PipelineConfig(samplerate=sr, height=lines, refreshrate=refresh,
+                         block_samples=8192, autocorr=False)
+    sess = Session(cfg, Params(framerate_pll=False), src, SessionCallbacks())
+    sess.run(max_blocks=6)
+    assert sess.samples_dropped_total == 7777

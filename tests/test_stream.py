@@ -249,8 +249,9 @@ def test_live_param_toggle_mid_stream():
 
 
 def test_session_autocorr_dump(tmp_path):
-    """DMP equivalent: CSV dump in the reference's "ms, dB" format
-    (frameratedetector.c:64-85)."""
+    """DMP equivalent: full half-range CSV dump in the reference's "ms, dB"
+    format (dump_autocorrect, frameratedetector.c:64-85): one row per lag
+    from 0 to fftsize/2, t = 1000*lag/samplerate, raw current round."""
     src = SyntheticSource()
     src.init(f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")
     cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
@@ -262,9 +263,22 @@ def test_session_autocorr_dump(tmp_path):
     assert sess.dump_autocorr(p)
     lines = open(p).read().splitlines()
     assert lines[0] == "ms, dB"
-    assert len(lines) > 100
+    assert len(lines) == cfg.ac_fft_size // 2 + 1  # full half-range
     t0, db0 = map(float, lines[1].split(","))
-    assert t0 > 0 and np.isfinite(db0)
+    assert t0 == 0.0 and np.isfinite(db0)  # reference dump starts at lag 0
+    t1, _ = map(float, lines[2].split(","))
+    assert t1 == pytest.approx(1000.0 / SR)
+    # the dumped |R(j)| must agree with an oracle autocorrelation of the
+    # round's envelope within float tolerance at the peak lag
+    vals = np.array([float(l.split(",")[0]) for l in lines[1:]])
+    assert np.all(np.diff(vals) > 0)
+    # TPU-native extra: the two analysis windows
+    pw = str(tmp_path / "ac_windows.csv")
+    assert sess.dump_autocorr(pw, windows=True)
+    wlines = open(pw).read().splitlines()
+    assert wlines[0] == "ms, dB"
+    tw, _ = map(float, wlines[1].split(","))
+    assert tw > 0  # window dump starts at the window offset, not lag 0
 
 
 def test_session_runs_and_checkpoints(tmp_path):
@@ -284,3 +298,63 @@ def test_session_runs_and_checkpoints(tmp_path):
     after = jax.tree.leaves(sess.state)
     for a, b in zip(before, after):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_session_batched_drop_applies_at_true_slot():
+    """A drop reported mid-batch must be compensated at its own block's scan
+    slot, not summed into slot 0 (which would fire compensation up to
+    batch-1 blocks early): batched and unbatched runs over a stream with a
+    mid-batch drop must agree frame-for-frame."""
+    from tempestsdr_tpu.sources.base import Source, SourceBlock
+
+    drop_block, drop_n = 5, 12345  # 5 % 4 != 0 -> lands mid-batch for k=4
+
+    class DroppySynth(Source):
+        """Deterministic synthetic stream that skips drop_n samples before
+        block `drop_block` and reports them (hardware-drop semantics)."""
+
+        def init(self, params):
+            self.raster = render_test_pattern(LINES, TWIDTH)
+            self.pixclock = LINES * TWIDTH * REFRESH
+            self.pos = 0
+            self.block = 0
+
+        def name(self):
+            return "droppy"
+
+        def samplerate(self):
+            return SR
+
+        def stream(self, block_samples):
+            while True:
+                dropped = 0
+                if self.block == drop_block:
+                    self.pos += drop_n
+                    dropped = drop_n
+                blk = synth_iq(self.raster, samplerate=SR, pixelclock=self.pixclock,
+                               n_samples=block_samples, start_sample=self.pos,
+                               noise=0.0)
+                self.pos += block_samples
+                self.block += 1
+                yield SourceBlock(blk, dropped)
+
+        def stop(self):
+            pass
+
+    def run(batch):
+        src = DroppySynth()
+        src.init("")
+        cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                             block_samples=8192, autocorr=False)
+        frames = []
+        sess = Session(cfg, Params(framerate_pll=False), src,
+                       SessionCallbacks(on_frame=frames.append),
+                       batch_blocks=batch)
+        sess.run(max_blocks=24)
+        return frames
+
+    f1 = run(1)
+    f4 = run(4)
+    assert len(f1) == len(f4) and len(f1) >= 4
+    for a, b in zip(f1, f4):
+        np.testing.assert_array_equal(a, b)
