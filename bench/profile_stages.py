@@ -145,8 +145,15 @@ def main():
         return run
 
     carry0 = (jnp.int64(0), jnp.zeros((taps,), jnp.float32))
-    timeit("resample:strided", rs_scan(rs.box_resample_strided), carry0, envs,
-           bytes_per_sample=bps_rs)
+    for g in (8, 16, 32):
+        timeit(f"resample:strided-G{g}", rs_scan(rs.box_resample_strided, G=g),
+               carry0, envs, bytes_per_sample=bps_rs)
+    for Lv in (256, 512, 1024):
+        # smaller L shrinks the drift margin -> fewer weight-loop iterations
+        # (taps_eff = taps+1+2*ceil(L*delta_cap)) at the cost of more chunks
+        timeit(f"resample:strided-G8-L{Lv}",
+               rs_scan(rs.box_resample_strided, G=8, L=Lv),
+               carry0, envs, bytes_per_sample=bps_rs)
     timeit("resample:chunked", rs_scan(rs.box_resample_block_chunked), carry0,
            envs, bytes_per_sample=bps_rs)
 
@@ -189,12 +196,45 @@ def main():
            (jnp.zeros((fb_len,), jnp.float32), jnp.int32(0)), pixs,
            samples=K * block, bytes_per_sample=4 * max_pix / block * 3)
 
+    # ---- isolated per-frame post-process (the emit-cond body): one call
+    # per frame, amortized over frame_pixels/pixels-per-block blocks
+    from tempestsdr_tpu.stream.pipeline import _post_process
+    from tempestsdr_tpu.ops.sync import PLLState, SweetspotState
+
+    frames_per_block = block * 2.0 / cfg.frame_pixels
+
+    for label, precise in (("post:frame-f64", True), ("post:frame-f32", False)):
+        pcfg = PipelineConfig(samplerate=64e6, height=628, refreshrate=60.0,
+                             block_samples=block, high_precision_sync=precise)
+        pparams = Params()
+        frames2d = jnp.asarray(
+            rng.random((4, pcfg.height, pcfg.width), np.float32))
+
+        @jax.jit
+        def s_post(carry, xs):
+            def body(carry, frame):
+                screen, ag, sx, sy, pll = carry
+                result, screen, ag, sx, sy, pll = _post_process(
+                    pcfg, pparams, frame, screen, ag, sx, sy, pll,
+                    jnp.float32(0.0))
+                return (screen, ag, sx, sy, pll), result[0, 0]
+            return lax.scan(body, carry, xs)
+        carry = (jnp.zeros((pcfg.height, pcfg.width), jnp.float32),
+                 (jnp.float32(0), jnp.float32(0), jnp.float32(1)),
+                 SweetspotState.init(), SweetspotState.init(), PLLState.init())
+        # samples: each frame == frame_pixels/2 input samples' worth
+        timeit(label, s_post, carry, frames2d,
+               samples=4 * cfg.frame_pixels // 2)
+
     # ---- full production step
-    for label, params, b in (
-        ("step:full", Params(), 2 + 4 + 8 + 8),
-        ("step:no-autocorr", Params(autocorr_plots_off=True), 2 + 4 + 8),
+    for label, params, hps, b in (
+        ("step:full", Params(), True, 2 + 4 + 8 + 8),
+        ("step:full-f32sync", Params(), False, 2 + 4 + 8 + 8),
+        ("step:no-autocorr", Params(autocorr_plots_off=True), True, 2 + 4 + 8),
     ):
-        step = make_step(cfg, params)
+        scfg = PipelineConfig(samplerate=64e6, height=628, refreshrate=60.0,
+                             block_samples=block, high_precision_sync=hps)
+        step = make_step(scfg, params)
         ctrl = StepControls.default()
 
         @jax.jit
@@ -203,14 +243,74 @@ def main():
                 st, out = step(st, raw, ctrl)
                 return st, (out.frame_valid, out.n_pixels)
             return lax.scan(body, state, xs)
-        timeit(label, s_full, init_state(cfg), raws, bytes_per_sample=b)
+        timeit(label, s_full, init_state(scfg), raws, bytes_per_sample=b)
+
+    # ---- pre-only (the step minus its two cond bodies + plumbing): the gap
+    # between this and step:full is the cond/emit machinery cost
+    from tempestsdr_tpu.stream.pipeline import _make_step_parts
+
+    pcfg2 = PipelineConfig(samplerate=64e6, height=628, refreshrate=60.0,
+                          block_samples=block)
+    parts = _make_step_parts(pcfg2, Params())
+    pre_f, _, _, _, emit_ops_of, ac_ops_of, assemble_f = parts
+    ctrl0 = StepControls.default()
+
+    @jax.jit
+    def s_preonly(state, xs):
+        def body(st, raw):
+            inter = pre_f(st, raw, ctrl0)
+            st2, outs = assemble_f(
+                st, inter, ac_ops_of(st, inter), emit_ops_of(st, inter),
+                jnp.zeros((pcfg2.height, pcfg2.width), jnp.float32))
+            return st2, (outs.frame_valid, outs.n_pixels)
+        return lax.scan(body, state, xs)
+    timeit("step:pre-only", s_preonly, init_state(pcfg2), raws,
+           bytes_per_sample=2 + 4 + 8 + 8)
+
+    # ---- bigger block: amortize the per-iteration floor (max block allowed
+    # by the one-frame-per-step constraint at this geometry)
+    bigblock = 1_000_000
+    bcfg = PipelineConfig(samplerate=64e6, height=628, refreshrate=60.0,
+                         block_samples=bigblock)
+    bstep = make_step(bcfg, Params())
+    braws = jnp.asarray(
+        rng.integers(0, 256, size=(K // 2, 2 * bigblock), dtype=np.uint8))
+
+    @jax.jit
+    def s_big(state, xs):
+        def body(st, raw):
+            st, out = bstep(st, raw, ctrl0)
+            return st, (out.frame_valid, out.n_pixels)
+        return lax.scan(body, state, xs)
+    timeit("step:block1M", s_big, init_state(bcfg), braws,
+           samples=(K // 2) * bigblock, bytes_per_sample=2 + 4 + 8 + 8)
+
+    # ---- scan unroll: amortize the per-iteration overhead floor
+    for unroll in (2, 4):
+        scfg = PipelineConfig(samplerate=64e6, height=628, refreshrate=60.0,
+                             block_samples=block, high_precision_sync=False)
+        step = make_step(scfg, Params())
+        ctrl = StepControls.default()
+
+        @jax.jit
+        def s_unroll(state, xs):
+            def body(st, raw):
+                st, out = step(st, raw, ctrl)
+                return st, (out.frame_valid, out.n_pixels)
+            return lax.scan(body, state, xs, unroll=unroll)
+        timeit(f"step:f32sync-unroll{unroll}", s_unroll, init_state(scfg), raws,
+               bytes_per_sample=2 + 4 + 8 + 8)
 
     if args.channels:
         C = args.channels
         cblock = 1 << 17
         ccfg = PipelineConfig(samplerate=16e6, height=628, refreshrate=60.0,
                               block_samples=cblock)
+        ccfg_f32 = PipelineConfig(samplerate=16e6, height=628, refreshrate=60.0,
+                                  block_samples=cblock,
+                                  high_precision_sync=False)
         cstep = make_channels_step(ccfg, Params())
+        cstep_f32 = make_channels_step(ccfg_f32, Params())
         craws = jnp.asarray(
             rng.integers(0, 256, size=(K, C, 2 * cblock), dtype=np.uint8))
         cenvs = jnp.asarray(rng.random((K, C, cblock), np.float32))
@@ -226,6 +326,62 @@ def main():
                 return st, out.frame_valid
             return lax.scan(body, states, xs)
         timeit(f"channels:{C}:full-step", s_ch, stack_states(ccfg, C), craws,
+               samples=csamples, bytes_per_sample=2 + 4 + 8 + 8)
+
+        @jax.jit
+        def s_ch32(states, xs):
+            def body(st, raw):
+                st, out = cstep_f32(st, raw, ctrl)
+                return st, out.frame_valid
+            return lax.scan(body, states, xs)
+        timeit(f"channels:{C}:full-f32sync", s_ch32, stack_states(ccfg_f32, C),
+               craws, samples=csamples, bytes_per_sample=2 + 4 + 8 + 8)
+
+        # pre-only channels: vmapped per-sample work + assemble, no conds
+        cparts = _make_step_parts(ccfg, Params())
+        cpre, _, _, _, cemit_of, cac_of, cassemble = cparts
+
+        @jax.jit
+        def s_chpre(states, xs):
+            def body(st, raw):
+                inter = jax.vmap(lambda s, r: cpre(s, r, StepControls.default()))(
+                    st, raw)
+                st2, outs = jax.vmap(cassemble)(
+                    st, inter, cac_of(st, inter), cemit_of(st, inter),
+                    jnp.zeros((C, ccfg.height, ccfg.width), jnp.float32))
+                return st2, outs.frame_valid
+            return lax.scan(body, states, xs)
+        timeit(f"channels:{C}:pre-only", s_chpre, stack_states(ccfg, C), craws,
+               samples=csamples, bytes_per_sample=2 + 4 + 8 + 8)
+
+        # bigger per-channel block (non-pow2, largest the one-frame-per-step
+        # constraint allows at 16 MS/s geometry)
+        cblock2 = 196_608
+        ccfg2 = PipelineConfig(samplerate=16e6, height=628, refreshrate=60.0,
+                               block_samples=cblock2)
+        cstep2 = make_channels_step(ccfg2, Params())
+        craws2 = jnp.asarray(
+            rng.integers(0, 256, size=(K // 2, C, 2 * cblock2), dtype=np.uint8))
+
+        @jax.jit
+        def s_ch2(states, xs):
+            def body(st, raw):
+                st, out = cstep2(st, raw, ctrl)
+                return st, out.frame_valid
+            return lax.scan(body, states, xs)
+        timeit(f"channels:{C}:block192k", s_ch2, stack_states(ccfg2, C), craws2,
+               samples=(K // 2) * C * cblock2, bytes_per_sample=2 + 4 + 8 + 8)
+
+        # worst case after drop-induced desync: frame boundaries staggered
+        # across channels -> the any()-gated emit body fires for every
+        # channel at C times the per-channel frame cadence
+        # (stream/pipeline.py make_channels_step docstring)
+        desync = stack_states(ccfg, C)
+        import jax.numpy as _jnp
+        desync = desync._replace(
+            fill=(_jnp.arange(C, dtype=_jnp.int32)
+                  * (ccfg.frame_pixels // C)) % ccfg.frame_pixels)
+        timeit(f"channels:{C}:full-desync", s_ch, desync, craws,
                samples=csamples, bytes_per_sample=2 + 4 + 8 + 8)
 
         # -- per-stage: where does the per-chip loss go? --
@@ -286,7 +442,7 @@ def main():
         def s_cha2(carry, xs):
             def body(carry, env):
                 buf, fill = carry
-                buf = lax.dynamic_update_slice(buf, env, (0, fill))
+                buf = lax.dynamic_update_slice(buf, env, (jnp.int32(0), fill))
                 fill = fill + cblock
                 fill = jnp.where(fill >= cac_round, fill - cac_round, fill)
                 return (buf, fill), env[0, 0]

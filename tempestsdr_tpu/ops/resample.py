@@ -266,6 +266,7 @@ def box_resample_strided(
     taps: int,
     inv_nominal: float,
     L: int | None = None,
+    G: int = 8,
 ):
     """Fastest path for near-rational upsampling (the reference's standard
     2x horizontal oversampling, pixelrate ~= 2*samplerate).
@@ -280,8 +281,10 @@ def box_resample_strided(
     static 0/1 permutation (Precision.HIGHEST — the TPU's default matmul
     rounds inputs to bf16). Same exact int64 carries as the other forms.
 
-    Measured (TPU v5e, 524k-sample block at the flagship 2x geometry):
-    0.71 ms vs 1.12 ms for the dense chunked form.
+    G sets the row-gather granularity: the weight loop runs taps_eff + G
+    iterations (the + G absorbs the row misalignment), so G trades loop
+    compute against gather efficiency — see bench/PROFILE.json for the
+    measured sweep at the flagship geometry.
     """
     import jax
     from jax import lax as _lax
@@ -300,7 +303,6 @@ def box_resample_strided(
         2.0 ** (-FRAC_BITS)
     )
 
-    G = 32  # row-gather granularity (see box_resample_block_chunked)
     pix_per_chunk = m * L
     n_chunks = -(-max_pix // pix_per_chunk)
     w = L + taps_eff + 2

@@ -57,8 +57,10 @@ class Params:
     # windowed-sinc anti-alias FIR before resampling.
     resampler: str = "auto"  # box-resampler implementation: "auto" (strided
     # when the geometry is near-rational, else chunked), "strided", "chunked",
-    # "pallas" (Mosaic kernel, in-kernel DMA), or "pallas_windows" (Mosaic
-    # weight+reduce on XLA-gathered windows). All produce identical carries;
+    # "pallas_strided" (Mosaic kernel: DMA'd windows + dynamic lane-roll
+    # alignment; m==2 geometries, falls back otherwise), "pallas" (in-kernel
+    # DMA per pixel-chunk), or "pallas_windows" (Mosaic weight+reduce on
+    # XLA-gathered windows). All produce identical carries;
     # nearest_neighbour=True overrides. Static (recompile boundary).
 
     def replace(self, **kw) -> "Params":

@@ -73,6 +73,19 @@ def _pick_resampler(config: PipelineConfig, params: Params):
         return box_resample_strided
     if choice == "chunked":
         return box_resample_block_chunked
+    if choice == "pallas_strided":
+        from ..pallas.strided_kernel import box_resample_strided_pallas
+
+        plan = plan_strided(config.samples_per_pixel, config.resample_taps)
+        if plan is None or plan[0] != 2:
+            # kernel covers the reference's standard 2x-oversampled geometry
+            # only; other rates use the XLA strided/chunked forms
+            return (
+                box_resample_strided
+                if plan is not None
+                else box_resample_block_chunked
+            )
+        return box_resample_strided_pallas
     if choice in ("pallas", "pallas_windows"):
         from ..pallas.resample_kernel import (
             box_resample_pallas,
@@ -253,11 +266,21 @@ def _make_step_parts(config: PipelineConfig, params: Params):
         new_tail = x_ext[x_ext.shape[0] - taps :]
 
         # ---- manual sync shift as a pixel skip (tsdr_sync TSDRLibrary.c:576-602
-        # consumed via compensation in decimatingthread :345-346)
+        # consumed via compensation in decimatingthread :345-346). k == 0 on
+        # every block without a pending manual shift, so the 2*max_pix
+        # concat+slice materialization is gated behind a cond (measured
+        # ~0.1 ms/block of pure HBM traffic otherwise)
         pend = (state.skip_pixels + controls.syncoffset) % frame_pixels
         k = jnp.minimum(pend, n_out)
-        pixels = lax.dynamic_slice(
-            jnp.concatenate([pixels, jnp.zeros((max_pix,), jnp.float32)]), (k,), (max_pix,)
+        pixels = lax.cond(
+            k > 0,
+            lambda px: lax.dynamic_slice(
+                jnp.concatenate([px, jnp.zeros((max_pix,), jnp.float32)]),
+                (k,),
+                (max_pix,),
+            ),
+            lambda px: px,
+            pixels,
         )
         n_valid = n_out - k
         pend = pend - k

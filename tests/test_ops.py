@@ -197,6 +197,33 @@ def test_box_resample_strided_matches_streaming():
             tail = x[x.shape[0] - taps:]
 
 
+def test_box_resample_strided_pallas_matches_streaming():
+    """The Mosaic strided kernel (interpret mode on CPU) must track the XLA
+    strided form across blocks and PLL-perturbed rates, with identical
+    int64 carries (pallas/strided_kernel.py)."""
+    from tempestsdr_tpu.ops import box_resample_strided
+    from tempestsdr_tpu.pallas.strided_kernel import box_resample_strided_pallas
+
+    rng = np.random.default_rng(15)
+    n = 1 << 14
+    inv0 = 0.500004
+    taps = 2
+    max_pix = int(n / inv0 * 1.02) + 2
+    for scale in (1.0, 1.001, 1 / 1.001):
+        inv_fix = jnp.int64(round(inv0 * scale * (1 << FRAC_BITS)))
+        ph1 = ph2 = jnp.int64(0)
+        tail = jnp.zeros(taps, jnp.float32)
+        for _ in range(3):
+            x = jnp.concatenate([tail, jnp.asarray(rng.normal(size=n).astype(np.float32))])
+            p1, n1, ph1 = box_resample_strided(
+                x, ph1, inv_fix, n_samples=n, max_pix=max_pix, taps=taps, inv_nominal=inv0)
+            p2, n2, ph2 = box_resample_strided_pallas(
+                x, ph2, inv_fix, n_samples=n, max_pix=max_pix, taps=taps, inv_nominal=inv0)
+            assert int(n1) == int(n2) and int(ph1) == int(ph2)
+            np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=4e-4, atol=4e-4)
+            tail = x[x.shape[0] - taps:]
+
+
 @pytest.mark.parametrize("rate", [1.99876, 1.5123, 0.71234])
 def test_box_resample_gather_variant_matches(rate):
     from tempestsdr_tpu.ops.resample import box_resample_gather_i32

@@ -71,6 +71,26 @@ def test_fixed_geometry_replay_recovers_raster():
     assert np.percentile(f, 1) > -0.2 and np.percentile(f, 99) < 1.2
 
 
+def test_pallas_strided_step_matches_default():
+    """A step built with Params(resampler="pallas_strided") (Mosaic kernel,
+    interpret mode on CPU) must produce the same frames and the same frame
+    cadence as the default XLA strided resampler."""
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    raster = render_test_pattern(LINES, TWIDTH)
+    _, frames_ref, outs_ref = run_blocks(cfg, Params(framerate_pll=False), 40,
+                                         raster=raster, noise=0.005)
+    _, frames_pl, outs_pl = run_blocks(
+        cfg, Params(framerate_pll=False, resampler="pallas_strided"), 40,
+        raster=raster, noise=0.005)
+    assert len(frames_ref) == len(frames_pl) > 0
+    for a, b in zip(outs_ref, outs_pl):
+        assert int(a.n_pixels) == int(b.n_pixels)
+        assert bool(a.frame_valid) == bool(b.frame_valid)
+    for fa, fb in zip(frames_ref, frames_pl):
+        np.testing.assert_allclose(fb, fa, atol=2e-3)
+
+
 def test_stream_state_is_deterministic():
     """Same input -> bit-identical carry (the reference can't promise this
     across thread schedules; the functional design can)."""
