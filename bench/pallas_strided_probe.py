@@ -91,6 +91,34 @@ def main():
         dt = time.time() - t1
         log(f"pallas Ls={Ls}: {dt / K * 1e3:.3f} ms/blk  {n * K / dt / 1e6:.1f} MS/s")
 
+    # full production step: default (XLA strided) vs pallas_strided
+    from tempestsdr_tpu.params import Params
+    from tempestsdr_tpu.stream import init_state
+    from tempestsdr_tpu.stream.pipeline import StepControls, make_step
+
+    rng2 = np.random.default_rng(1)
+    raws = jnp.asarray(
+        rng2.integers(0, 256, size=(K, 2 * n), dtype=np.uint8))
+    ctrl = StepControls.default()
+    for label, params in (("step:default", Params()),
+                          ("step:pallas", Params(resampler="pallas_strided"))):
+        step = make_step(cfg, params)
+
+        @jax.jit
+        def s_full(state, xxs):
+            def body(st, raw):
+                st, out = step(st, raw, ctrl)
+                return st, (out.frame_valid, out.n_pixels)
+            return lax.scan(body, state, xxs)
+        st = init_state(cfg)
+        out = s_full(st, raws)
+        jax.block_until_ready(out)
+        t1 = time.time()
+        out = s_full(st, raws)
+        np.asarray(out[1][1])
+        dt = time.time() - t1
+        log(f"{label}: {dt / K * 1e3:.3f} ms/blk  {n * K / dt / 1e6:.1f} MS/s")
+
     log("DONE")
 
 

@@ -58,6 +58,14 @@ def floor_pow2(n: int) -> int:
     return 1 << (n.bit_length() - 1)
 
 
+def ac_fft_size_for(samplerate: float) -> int:
+    """Estimator FFT size as a function of samplerate alone — the same
+    formula as PipelineConfig.ac_fft_size (frameratedetector.c:160 round
+    length, fft.c:55 pow2 truncation), for consumers that only see plot
+    events (e.g. the auto-resolution tracker's mirror disambiguation)."""
+    return floor_pow2(int(FRAMES_TO_CAPTURE * samplerate / MIN_FRAMERATE))
+
+
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     samplerate: float  # device sample rate, Hz

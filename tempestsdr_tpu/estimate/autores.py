@@ -14,6 +14,7 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
+from ..config import MAX_HEIGHT, MIN_HEIGHT, ac_fft_size_for
 from ..events import PLOT_ID, PlotEvent
 from .vesa import VideoMode, find_closest_mode
 
@@ -35,9 +36,43 @@ def estimate_from_plots(
     line_offset: int,
     samplerate: float,
 ) -> Estimate:
-    """One-round estimate from the two autocorrelation windows."""
+    """One-round estimate from the two autocorrelation windows.
+
+    Improvement over the reference's bare argmax (Main.java:1232-1277): the
+    estimator's autocorrelation is CIRCULAR (fft.c:49-64, no zero padding),
+    so R(j) == R(N - j) exactly — when the frame window spans past
+    ac_fft_size/2 (it does whenever maxlength > fft/2, e.g. any sub-61 Hz
+    mode), the true lag and its mirror alias tie to the bit and the
+    reference's pick is decided by FFT rounding noise (bistable 60 <-> 62.1
+    Hz detections). Here a tied mirror pair is broken deterministically:
+    prefer the candidate whose implied height lies in the reference's own
+    plausibility bounds [MIN_HEIGHT, MAX_HEIGHT] (internaldefinitions /
+    frameratedetector.c:21-23), then the one closer to a VESA mode.
+    """
     frame_lag = frame_offset + int(np.argmax(frame_plot))
     line_lag = line_offset + int(np.argmax(line_plot))
+
+    fft_size = ac_fft_size_for(samplerate)
+    jm = fft_size - frame_lag
+    if frame_offset <= jm < frame_offset + len(frame_plot) and jm != frame_lag:
+        vj = float(frame_plot[frame_lag - frame_offset])
+        vm = float(frame_plot[jm - frame_offset])
+        if abs(vm - vj) <= 1e-3 * max(abs(vj), 1e-30):  # exact-math tie
+            def plausible(j: int) -> bool:
+                return MIN_HEIGHT <= round(j / line_lag) <= MAX_HEIGHT
+
+            def mode_dist(j: int) -> float:
+                fps_c = samplerate / j
+                m = find_closest_mode(fps_c, int(round(j / line_lag)))
+                if m is None:
+                    return float("inf")
+                return abs(m.height - j / line_lag) + abs(m.refreshrate - fps_c)
+
+            if plausible(jm) != plausible(frame_lag):
+                frame_lag = jm if plausible(jm) else frame_lag
+            elif mode_dist(jm) < mode_dist(frame_lag):
+                frame_lag = jm
+
     fps = samplerate / frame_lag
     height = int(round(frame_lag / line_lag))
     return Estimate(fps, height, frame_lag, line_lag, find_closest_mode(fps, height))

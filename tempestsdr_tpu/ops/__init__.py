@@ -4,7 +4,7 @@ Every op is `f(args) -> out` or `f(carry, block) -> (carry', out)` with static
 shapes, so the whole chain jits into one XLA program.
 """
 
-from .demod import am_demod, normalize_iq  # noqa: F401
+from .demod import am_demod, demod_raw_interleaved, normalize_iq  # noqa: F401
 from .gaussian import gaussian_blur_circular  # noqa: F401
 from .autocorr import autocorrelation_magnitude, accumulate_running_mean  # noqa: F401
 from .resample import (  # noqa: F401

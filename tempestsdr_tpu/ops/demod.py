@@ -62,6 +62,41 @@ def am_demod(iq: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(i * i + q * q)
 
 
+def demod_raw_interleaved(raw: jnp.ndarray) -> jnp.ndarray:
+    """Fused normalize+demod for narrow interleaved IQ blocks.
+
+    Bit-identical to am_demod(normalize_iq(raw)) for int8/uint8 input
+    (the /128 scaling is exact in f32, sqrt is correctly rounded, and the
+    pairing sum adds one exact I^2 to one exact Q^2 either way; int16's
+    1/32767 scale reassociates within 1 ulp), but formed
+    so the TPU never reshuffles lanes: each (I, Q) byte pair is BITCAST to
+    one 16-bit lane and decoded elementwise. |I+jQ| is invariant to the
+    byte order inside the pair, so no endianness fix-up is needed. Removes
+    both measured demod formulations' costs (stride-2 relayout / pairing
+    matmul + its HIGHEST-precision MXU pass) — the whole demod fuses into
+    whatever consumes the envelope. Falls back to the generic pair for
+    other dtypes. Reference: TSDRLibrary.c:244-262 + RawFile scaling
+    (TSDRPlugin_RawFile.c:241-261).
+    """
+    dt = raw.dtype
+    if raw.ndim == 1 and dt in (jnp.uint8, jnp.int8):
+        x = lax.bitcast_convert_type(raw.reshape(-1, 2), jnp.uint16).astype(jnp.int32)
+        lo, hi = x & 0xFF, x >> 8
+        if dt == jnp.uint8:
+            a = lo.astype(jnp.float32) - 128.0
+            b = hi.astype(jnp.float32) - 128.0
+        else:  # reinterpret each byte as signed: ((b ^ 128) - 128)
+            a = (lo ^ 128).astype(jnp.float32) - 128.0
+            b = (hi ^ 128).astype(jnp.float32) - 128.0
+        return jnp.sqrt(a * a + b * b) * jnp.float32(1.0 / 128.0)
+    if raw.ndim == 1 and dt == jnp.int16:
+        x = lax.bitcast_convert_type(raw.reshape(-1, 2), jnp.int32)
+        a = (((x & 0xFFFF) ^ 0x8000) - 0x8000).astype(jnp.float32)
+        b = (x >> 16).astype(jnp.float32)  # arithmetic shift sign-extends
+        return jnp.sqrt(a * a + b * b) * jnp.float32(1.0 / 32767.0)
+    return am_demod(normalize_iq(raw))
+
+
 def normalize_iq(raw: jnp.ndarray) -> jnp.ndarray:
     """Convert raw recorded samples to float32 in [-1, 1].
 

@@ -114,14 +114,22 @@ def find_the_sweet_spot(
     valid = valid.at[0].set(True)  # base size always evaluated
     safe = jnp.where(valid, cand, curr)
 
-    fits = []
-    ids = []
-    for k in range(5):
-        f, i = find_best_fit(data, totalsum, safe[k])
-        fits.append(jnp.where(valid[k], f, -jnp.inf))
-        ids.append(i)
-    fits = jnp.stack(fits)
-    ids = jnp.stack(ids)
+    # all 5 candidate sizes in ONE pass: a single doubled cumsum, one (5, n)
+    # gather and one (5, n) metric — vs 5 sequential find_best_fit calls
+    # (5 cumsums + 5 gathers + 5 argmaxes of tiny kernels, which dominate
+    # the measured per-frame post-process cost on TPU). Same math as
+    # find_best_fit, kept above for the oracle tests / single-size callers.
+    csum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float64), jnp.cumsum(jnp.concatenate([data, data]))]
+    )
+    i_idx = jnp.arange(n)
+    w = jnp.take(csum, i_idx[None, :] + safe[:, None]) - jnp.take(csum, i_idx)[None, :]
+    s = safe.astype(jnp.float64)[:, None]
+    m = (totalsum - w) / (jnp.float64(n) - s) - w / s
+    m = m * m
+    j = jnp.argmax(m, axis=1).astype(jnp.int32)  # per-candidate best window
+    fits = jnp.where(valid, jnp.take_along_axis(m, j[:, None].astype(jnp.int64), axis=1)[:, 0], -jnp.inf)
+    ids = jnp.maximum(j - 1, 0)  # the reference's id-off-by-one (:46-56)
     win = jnp.argmax(fits)  # first-wins == sequential strict->
     beststripstart = ids[win]
     beststripsize = safe[win]

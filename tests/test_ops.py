@@ -34,6 +34,32 @@ def test_am_demod_matches_envelope():
     np.testing.assert_allclose(out, np.sqrt(i * i + q * q), rtol=1e-6)
 
 
+def test_demod_raw_interleaved_bitwise_matches_generic():
+    """The u16-bitcast fused demod must be bit-identical to
+    am_demod(normalize_iq(.)) for every narrow format (demod.py): the /2^k
+    scalings are exact in f32 and sqrt is correctly rounded."""
+    from tempestsdr_tpu.ops import demod_raw_interleaved
+    from tempestsdr_tpu.ops.demod import am_demod, normalize_iq
+
+    rng = np.random.default_rng(3)
+    for dt, lo, hi in ((np.uint8, 0, 256), (np.int8, -128, 128)):
+        raw = jnp.asarray(rng.integers(lo, hi, size=8192, dtype=dt))
+        got = np.asarray(demod_raw_interleaved(raw))
+        want = np.asarray(am_demod(normalize_iq(raw)))
+        np.testing.assert_array_equal(got, want)
+    # int16 scales by 1/32767 (not a power of two) -> 1-ulp reassociation
+    raw = jnp.asarray(rng.integers(-32768, 32768, size=8192, dtype=np.int16))
+    np.testing.assert_allclose(
+        np.asarray(demod_raw_interleaved(raw)),
+        np.asarray(am_demod(normalize_iq(raw))), rtol=3e-7)
+    # f32 falls through to the generic pair
+    raw = jnp.asarray(rng.normal(size=512).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(demod_raw_interleaved(raw)),
+        np.asarray(am_demod(normalize_iq(raw))),
+    )
+
+
 def test_normalize_iq_formats():
     # TSDRPlugin_RawFile.c:241-261 scale factors
     assert np.isclose(float(normalize_iq(jnp.asarray([-128], jnp.int8))[0]), -1.0)
