@@ -23,14 +23,22 @@ def log(msg):
     print(f"[{time.time() - t0:6.1f}s] {msg}", flush=True)
 
 
-def timeit(label, fn, *args, samples):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t1 = time.time()
-    out = fn(*args)
+M = 4  # block_until_ready is optimistic on this runtime: warm-up must
+# host-fetch, and timing loops M dispatches to amortize relay latency
+
+
+def _fetch(out):
     leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "shape")]
     np.asarray(leaves[-1])
-    dt = time.time() - t1
+
+
+def timeit(label, fn, *args, samples):
+    _fetch(fn(*args))
+    t1 = time.time()
+    for _ in range(M):
+        out = fn(*args)
+    _fetch(out)
+    dt = (time.time() - t1) / M
     RESULTS[label] = {"ms_total": round(dt * 1e3, 2),
                       "MSps": round(samples / dt / 1e6, 1)}
     log(f"{label:32s} {dt * 1e3:8.2f} ms  {samples / dt / 1e6:8.1f} MS/s")

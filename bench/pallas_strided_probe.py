@@ -67,29 +67,28 @@ def main():
 
     xs = jnp.asarray(rng.random((K, n)).astype(np.float32))
     carry0 = (jnp.int64(0), jnp.zeros((taps,), jnp.float32))
+    M = 4  # timed dispatches; block_until_ready is optimistic on this
+    # runtime, so warm-up must HOST-FETCH and timing loops M dispatches
+
+    def bench(name, run, c0, xxs):
+        out = run(c0, xxs)
+        np.asarray(out[1])
+        t1 = time.time()
+        for _ in range(M):
+            out = run(c0, xxs)
+        np.asarray(out[1])
+        dt = (time.time() - t1) / M
+        log(f"{name}: {dt / K * 1e3:.3f} ms/blk  {n * K / dt / 1e6:.1f} MS/s")
+
     for name, f in (("xla-strided", rs.box_resample_strided),
                     ("pallas-strided", box_resample_strided_pallas)):
-        run = scan_of(f)
-        out = run(carry0, xs)
-        jax.block_until_ready(out)
-        t1 = time.time()
-        out = run(carry0, xs)
-        np.asarray(out[1])
-        dt = time.time() - t1
-        log(f"{name}: {dt / K * 1e3:.3f} ms/blk  {n * K / dt / 1e6:.1f} MS/s")
+        bench(name, scan_of(f), carry0, xs)
 
     # Ls sweep for the kernel
     for Ls in (1024, 2048, 4096):
         import functools
         f = functools.partial(box_resample_strided_pallas, Ls=Ls)
-        run = scan_of(f)
-        out = run(carry0, xs)
-        jax.block_until_ready(out)
-        t1 = time.time()
-        out = run(carry0, xs)
-        np.asarray(out[1])
-        dt = time.time() - t1
-        log(f"pallas Ls={Ls}: {dt / K * 1e3:.3f} ms/blk  {n * K / dt / 1e6:.1f} MS/s")
+        bench(f"pallas Ls={Ls}", scan_of(f), carry0, xs)
 
     # full production step: default (XLA strided) vs pallas_strided
     from tempestsdr_tpu.params import Params
@@ -112,11 +111,12 @@ def main():
             return lax.scan(body, state, xxs)
         st = init_state(cfg)
         out = s_full(st, raws)
-        jax.block_until_ready(out)
-        t1 = time.time()
-        out = s_full(st, raws)
         np.asarray(out[1][1])
-        dt = time.time() - t1
+        t1 = time.time()
+        for _ in range(M):
+            out = s_full(st, raws)
+        np.asarray(out[1][1])
+        dt = (time.time() - t1) / M
         log(f"{label}: {dt / K * 1e3:.3f} ms/blk  {n * K / dt / 1e6:.1f} MS/s")
 
     log("DONE")

@@ -26,16 +26,25 @@ def log(msg):
     print(f"[{time.time() - t0:6.1f}s] {msg}", flush=True)
 
 
-def timeit(label, fn, *args, samples):
-    tc = time.time()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    compile_s = time.time() - tc
-    t1 = time.time()
-    out = fn(*args)
+M = 4  # timed dispatches (amortizes the ~10 ms relay latency)
+
+
+def _fetch(out):
+    # block_until_ready is optimistic on this runtime (CLAUDE.md): a real
+    # host fetch is the only reliable completion barrier
     leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "shape")]
     np.asarray(leaves[-1])
-    dt = time.time() - t1
+
+
+def timeit(label, fn, *args, samples):
+    tc = time.time()
+    _fetch(fn(*args))
+    compile_s = time.time() - tc
+    t1 = time.time()
+    for _ in range(M):
+        out = fn(*args)
+    _fetch(out)
+    dt = (time.time() - t1) / M
     RESULTS[label] = {"ms_per_call": round(dt * 1e3, 3),
                       "MSps": round(samples / dt / 1e6, 1),
                       "compile_s": round(compile_s, 1)}

@@ -21,14 +21,14 @@ import jax.numpy as jnp
 def autocorrelation_magnitude(x: jnp.ndarray) -> jnp.ndarray:
     """x: f32[n] (n a power of two) -> |R(j)| f32[n], reference convention.
 
-    x is real, so |FFT(x)| is a real even sequence and IFFT(|FFT(x)|) is
-    real even too: compute via rfft/irfft on the half-spectrum — half the
-    FLOPs and memory of the reference's complex-in/complex-out pipeline
-    (fft.c:49-64) with identical values (the imaginary part it |.|s away
-    is identically zero).
+    Complex-in/complex-out like the reference (fft.c:49-64). An rfft/irfft
+    half-spectrum form (mathematically identical — x is real so |FFT| is
+    real even) measured slightly SLOWER on this TPU runtime
+    (bench/REGRESS_PROFILE.json autocorr:rfft vs :cfft), so the c64 form
+    stays.
     """
-    m = jnp.abs(jnp.fft.rfft(x))
-    r = jnp.fft.irfft(m, x.shape[0])
+    spec = jnp.fft.fft(x.astype(jnp.complex64))
+    r = jnp.fft.ifft(jnp.abs(spec).astype(jnp.complex64))
     return jnp.abs(r).astype(jnp.float32)
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from jax import lax
 
 FRAMERATE_DX_LOWPASS_COEFF_HEIGHT = 0.1  # syncdetector.c:15
 FRAMERATE_DX_LOWPASS_COEFF_WIDTH = 0.9  # syncdetector.c:16
@@ -62,13 +63,18 @@ class PLLState(NamedTuple):
 
 
 def _circular_window_sums(data: jnp.ndarray, stripsize) -> jnp.ndarray:
-    """w[i] = sum of data[(i + k) % n] for k < stripsize, all i. f64."""
+    """w[i] = sum of data[(i + k) % n] for k < stripsize, all i. f64.
+
+    csum[i+s] over i in [0,n) is the CONTIGUOUS run csum[s:s+n]: a traced-
+    start `dynamic_slice`, not a gather — element gathers are a measured TPU
+    performance killer (CLAUDE.md), and f64 gathers doubly so.
+    """
     n = data.shape[0]
     csum = jnp.concatenate(
         [jnp.zeros((1,), jnp.float64), jnp.cumsum(jnp.concatenate([data, data]))]
     )
-    i = jnp.arange(n)
-    return jnp.take(csum, i + stripsize) - jnp.take(csum, i)
+    hi = lax.dynamic_slice(csum, (jnp.asarray(stripsize, jnp.int32),), (n,))
+    return hi - csum[:n]
 
 
 def find_best_fit(data: jnp.ndarray, totalsum, stripsize):
@@ -114,16 +120,22 @@ def find_the_sweet_spot(
     valid = valid.at[0].set(True)  # base size always evaluated
     safe = jnp.where(valid, cand, curr)
 
-    # all 5 candidate sizes in ONE pass: a single doubled cumsum, one (5, n)
-    # gather and one (5, n) metric — vs 5 sequential find_best_fit calls
-    # (5 cumsums + 5 gathers + 5 argmaxes of tiny kernels, which dominate
-    # the measured per-frame post-process cost on TPU). Same math as
-    # find_best_fit, kept above for the oracle tests / single-size callers.
+    # all 5 candidate sizes share ONE doubled cumsum; each candidate's window
+    # sums are csum[s:s+n] - csum[:n], i.e. a traced-start dynamic_slice per
+    # candidate (contiguous, cheap). The earlier (5, n) f64 *gather* form
+    # measured ~10x slower than even 5 sequential find_best_fit calls
+    # (bench/REGRESS_PROFILE.json post:frame A/B) — element gathers are TPU
+    # poison. Same math as find_best_fit, kept above for oracle tests.
     csum = jnp.concatenate(
         [jnp.zeros((1,), jnp.float64), jnp.cumsum(jnp.concatenate([data, data]))]
     )
-    i_idx = jnp.arange(n)
-    w = jnp.take(csum, i_idx[None, :] + safe[:, None]) - jnp.take(csum, i_idx)[None, :]
+    lo = csum[:n]
+    w = (
+        jnp.stack(
+            [lax.dynamic_slice(csum, (safe[k],), (n,)) for k in range(5)]
+        )
+        - lo[None, :]
+    )
     s = safe.astype(jnp.float64)[:, None]
     m = (totalsum - w) / (jnp.float64(n) - s) - w / s
     m = m * m

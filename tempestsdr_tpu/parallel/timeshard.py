@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import FRAC_BITS, PipelineConfig
 from ..params import Params
-from ..ops.demod import demod_raw_interleaved
+from ..ops.demod import am_demod, normalize_iq
 from ..ops.fir import design_lowpass_fir
 from ..ops.resample import box_resample_range, resample_counts
 from ..ops.autocorr import accumulate_running_mean, autocorrelation_magnitude
@@ -79,7 +79,7 @@ def _make_body(config: PipelineConfig, params: Params, T: int):
 
     def step(state: StreamState, raw_seg, controls: StepControls):
         t_idx = lax.axis_index("time")
-        env = demod_raw_interleaved(raw_seg)  # (S,)
+        env = am_demod(normalize_iq(raw_seg))  # (S,)
 
         # ---- drop compensation (replicated scalar math, as single-chip)
         dropped = controls.samples_dropped.astype(jnp.int64)

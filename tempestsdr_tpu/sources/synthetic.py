@@ -108,9 +108,23 @@ class SyntheticSource(Source):
         self._pos = 0
 
     def init(self, params: str) -> None:
-        toks = params.split()
-        lines, twidth, refresh, rate = int(toks[0]), int(toks[1]), float(toks[2]), float(toks[3])
-        self._noise = float(toks[4]) if len(toks) > 4 else 0.0
+        # malformed params -> PLUGIN_PARAMETERS_WRONG, like every plugin's
+        # tsdrplugin_init contract (TSDRLibrary.h TSDR_PLUGIN_PARAMETERS_WRONG)
+        try:
+            toks = params.split()
+            lines, twidth = int(toks[0]), int(toks[1])
+            refresh, rate = float(toks[2]), float(toks[3])
+            self._noise = float(toks[4]) if len(toks) > 4 else 0.0
+            if lines <= 0 or twidth <= 0 or refresh <= 0 or rate <= 0:
+                raise ValueError("all geometry params must be positive")
+        except (ValueError, IndexError) as e:
+            from ..errors import TSDRError, TSDRStatus
+
+            raise TSDRError(
+                TSDRStatus.PLUGIN_PARAMETERS_WRONG,
+                f"synthetic params must be 'lines twidth refresh_hz samplerate "
+                f"[noise]', got {params!r}: {e}",
+            ) from e
         self._raster = render_test_pattern(lines, twidth)
         self._rate = rate
         self._pixclock = lines * twidth * refresh

@@ -38,7 +38,7 @@ from ..config import (
     PIXEL_SPECIAL_VALUE_G,
 )
 from ..params import Params
-from ..ops.demod import demod_raw_interleaved
+from ..ops.demod import am_demod, normalize_iq
 from ..ops.resample import (
     box_resample_block_chunked,
     box_resample_strided,
@@ -209,7 +209,10 @@ def _make_step_parts(config: PipelineConfig, params: Params):
         )
 
     def pre(state: StreamState, raw, controls: StepControls):
-        env = demod_raw_interleaved(raw)  # f32[n]
+        env = am_demod(normalize_iq(raw))  # f32[n] — the MXU pairing-matmul
+        # demod; the u16-bitcast fused form (demod_raw_interleaved) measured
+        # 2.3x SLOWER on the VPU (bench/REGRESS_PROFILE.json): 16-bit
+        # integer decode does not vectorize as well as f32 square+matmul
 
         # ---- drop compensation: fold the whole-2-frame sample skip into the
         # resampler phase (dsp_dropped_compensation semantics, dsp.c:313-368)

@@ -60,6 +60,17 @@ def test_rawfile_formats(tmp_path):
         src.stop()
 
 
+def test_synthetic_bad_params():
+    from tempestsdr_tpu.errors import TSDRStatus
+    from tempestsdr_tpu.sources.synthetic import SyntheticSource
+
+    for bad in ("not numbers at all", "600 111", "0 111 60 2e6", ""):
+        src = SyntheticSource()
+        with pytest.raises(TSDRError) as ei:
+            src.init(bad)
+        assert ei.value.status == TSDRStatus.PLUGIN_PARAMETERS_WRONG
+
+
 def test_rawfile_bad_params():
     src = RawFileSource()
     with pytest.raises(TSDRError):
