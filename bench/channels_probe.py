@@ -77,7 +77,7 @@ def main():
         StepControls.default(),
     )
 
-    parts = _make_step_parts(cfg, params)
+    parts = _make_step_parts(cfg, params, batched=True)
     pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble = parts
 
     def make_variant(do_ac, do_emit):

@@ -58,17 +58,38 @@ from ..ops.autocorr import accumulate_running_mean, autocorrelation_magnitude
 from .state import StreamState, StepOutputs
 
 
-def _pick_resampler(config: PipelineConfig, params: Params):
+def _on_tpu() -> bool:
+    """True when the default backend is TPU hardware (incl. the remote
+    'axon' PJRT relay used in this environment)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # backend init failure -> behave like CPU
+        return False
+
+
+def _pick_resampler(config: PipelineConfig, params: Params, batched: bool = False):
     """Resolve Params.resampler to a box-resampler implementation. All
     variants share the exact int64 fixed-point carry contract, so the choice
-    only affects speed (measured per-variant in bench/profile_stages.py)."""
+    only affects speed (measured per-variant in bench/profile_stages.py).
+
+    batched: True when the caller will vmap the step over a channel axis.
+    The Mosaic strided kernel cannot lower under vmap (batched blocked specs
+    in ANY memory space are unsupported), so batched steps always use the
+    XLA forms."""
     choice = params.resampler
     if choice == "auto":
-        return (
-            box_resample_strided
-            if plan_strided(config.samples_per_pixel, config.resample_taps) is not None
-            else box_resample_block_chunked
-        )
+        plan = plan_strided(config.samples_per_pixel, config.resample_taps)
+        if plan is None:
+            return box_resample_block_chunked
+        if plan[0] == 2 and not batched and _on_tpu():
+            # Mosaic strided kernel: measured 543 vs 485 MS/s full-step on
+            # v5e (bench/pallas_strided_probe.py) for the reference's
+            # standard 2x-oversampled geometry. Other ratios / CPU tests
+            # use the XLA strided form (same fixed-point carry contract).
+            from ..pallas.strided_kernel import box_resample_strided_pallas
+
+            return box_resample_strided_pallas
+        return box_resample_strided
     if choice == "strided":
         return box_resample_strided
     if choice == "chunked":
@@ -77,9 +98,10 @@ def _pick_resampler(config: PipelineConfig, params: Params):
         from ..pallas.strided_kernel import box_resample_strided_pallas
 
         plan = plan_strided(config.samples_per_pixel, config.resample_taps)
-        if plan is None or plan[0] != 2:
+        if plan is None or plan[0] != 2 or batched:
             # kernel covers the reference's standard 2x-oversampled geometry
-            # only; other rates use the XLA strided/chunked forms
+            # only, and cannot lower under vmap; other rates / batched steps
+            # use the XLA strided/chunked forms
             return (
                 box_resample_strided
                 if plan is not None
@@ -171,7 +193,7 @@ def _post_process(config: PipelineConfig, params: Params, frame2d, screen, ag, s
     return result, screen, ag, sync_x, sync_y, pll
 
 
-def _make_step_parts(config: PipelineConfig, params: Params):
+def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = False):
     """The per-block step split into pure composable pieces:
 
       pre(state, raw, controls) -> Intermediates   (all per-sample work, no
@@ -257,7 +279,7 @@ def _make_step_parts(config: PipelineConfig, params: Params):
                 env, phase, inv_fix, n_samples=n, max_pix=max_pix
             )
         else:
-            pixels, n_out, phase2 = _pick_resampler(config, params)(
+            pixels, n_out, phase2 = _pick_resampler(config, params, batched)(
                 x_ext,
                 phase,
                 inv_fix,
@@ -410,14 +432,17 @@ def _make_step_parts(config: PipelineConfig, params: Params):
     return pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble
 
 
-def make_step(config: PipelineConfig, params: Params):
+def make_step(config: PipelineConfig, params: Params, batched: bool = False):
     """Build the jittable per-block step for one channel.
 
     Returns step(state: StreamState, raw: [2*block_samples] any supported
     dtype, controls: StepControls) -> (StreamState, StepOutputs).
+
+    batched=True when the caller will vmap this step (forces the XLA
+    resampler forms; the Mosaic kernel cannot lower under vmap).
     """
     pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble = (
-        _make_step_parts(config, params)
+        _make_step_parts(config, params, batched=batched)
     )
     run_autocorr = config.autocorr and not params.autocorr_plots_off
 
@@ -457,7 +482,7 @@ def make_channels_step(config: PipelineConfig, params: Params, n_channels: int =
     channels whenever any one fires).
     """
     pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble = (
-        _make_step_parts(config, params)
+        _make_step_parts(config, params, batched=True)
     )
     run_autocorr = config.autocorr and not params.autocorr_plots_off
 
@@ -493,8 +518,7 @@ def make_multi_step(config: PipelineConfig, params: Params):
     and controls (BASELINE.json config 5 — independent emitters). Prefer
     make_channels_step, which avoids executing both cond branches per
     channel per block."""
-    step = make_step(config, params)
-    return jax.vmap(step)
+    return jax.vmap(make_step(config, params, batched=True))
 
 
 def make_scan_runner(config: PipelineConfig, params: Params, n_blocks: int):

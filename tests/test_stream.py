@@ -378,3 +378,30 @@ def test_session_batched_drop_applies_at_true_slot():
     assert len(f1) == len(f4) and len(f1) >= 4
     for a, b in zip(f1, f4):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pick_resampler_auto_contract(monkeypatch):
+    """Auto selection: the Mosaic strided kernel is chosen only on TPU
+    backends, only for the m=2 (2x-oversampled) geometry, and never under
+    vmap (batched=True) — batched blocked specs in ANY memory space do not
+    lower (pipeline._pick_resampler)."""
+    from tempestsdr_tpu.ops.resample import plan_strided
+    from tempestsdr_tpu.stream import pipeline as P
+
+    cfg = PipelineConfig(samplerate=8e6, height=628, refreshrate=60.0,
+                         block_samples=8192)
+    params = Params()  # resampler="auto"
+    plan = plan_strided(cfg.samples_per_pixel, cfg.resample_taps)
+    assert plan is not None and plan[0] == 2  # the reference's standard geometry
+
+    # CPU (this test harness): XLA strided for both
+    assert P._pick_resampler(cfg, params).__name__ == "box_resample_strided"
+    assert (P._pick_resampler(cfg, params, batched=True).__name__
+            == "box_resample_strided")
+
+    # TPU: Mosaic kernel single-channel, XLA strided under vmap
+    monkeypatch.setattr(P, "_on_tpu", lambda: True)
+    assert (P._pick_resampler(cfg, params).__name__
+            == "box_resample_strided_pallas")
+    assert (P._pick_resampler(cfg, params, batched=True).__name__
+            == "box_resample_strided")
