@@ -321,8 +321,11 @@ class BenchRunner:
         return r
 
     def config5_channels(self, n_channels: int):
-        """n independent 16 MS/s emitters on one chip (uniform-cadence
-        channels step; the pod path shards the same step over a {ch} mesh)."""
+        """n independent 16 MS/s emitters on one chip. Uses the UNROLLED
+        channels step (real per-channel conds, per-channel Mosaic resampler):
+        measured 281 vs 164 MS/s aggregate against the vmapped any()-gated
+        step at 8ch — and the vmapped program class faults the remote TPU
+        runtime since 2026-08-17 pm (STATUS.md round-2 notes)."""
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -330,14 +333,17 @@ class BenchRunner:
         from tempestsdr_tpu.config import PipelineConfig
         from tempestsdr_tpu.params import Params
         from tempestsdr_tpu.parallel.channels import stack_states
-        from tempestsdr_tpu.stream.pipeline import StepControls, make_channels_step
+        from tempestsdr_tpu.stream.pipeline import (
+            StepControls,
+            make_channels_step_unrolled,
+        )
 
         sr = 16e6
-        block = 1 << 17
+        block = 196608  # largest one-frame-per-step block at this geometry
         K, M = (4, 2) if self.quick else (16, 4)
         cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
                             block_samples=block)
-        step = make_channels_step(cfg, Params())
+        step = make_channels_step_unrolled(cfg, Params(), n_channels)
         ctrl = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (n_channels,) + x.shape),
             StepControls.default(),

@@ -9,5 +9,10 @@ asynchronously and consumes (frame, events) outputs.
 """
 
 from .state import StreamState, StepOutputs, init_state  # noqa: F401
-from .pipeline import make_step, make_multi_step  # noqa: F401
+from .pipeline import (  # noqa: F401
+    make_step,
+    make_multi_step,
+    make_channels_step,
+    make_channels_step_unrolled,
+)
 from .session import Session  # noqa: F401

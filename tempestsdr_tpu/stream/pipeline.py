@@ -297,16 +297,26 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
         # ~0.1 ms/block of pure HBM traffic otherwise)
         pend = (state.skip_pixels + controls.syncoffset) % frame_pixels
         k = jnp.minimum(pend, n_out)
-        pixels = lax.cond(
-            k > 0,
-            lambda px: lax.dynamic_slice(
-                jnp.concatenate([px, jnp.zeros((max_pix,), jnp.float32)]),
+        if batched:
+            # under vmap a cond lowers to a select that runs BOTH branches
+            # every block for every channel — the gate saves nothing; use the
+            # unconditional slice (round-1 form, measured fine batched)
+            pixels = lax.dynamic_slice(
+                jnp.concatenate([pixels, jnp.zeros((max_pix,), jnp.float32)]),
                 (k,),
                 (max_pix,),
-            ),
-            lambda px: px,
-            pixels,
-        )
+            )
+        else:
+            pixels = lax.cond(
+                k > 0,
+                lambda px: lax.dynamic_slice(
+                    jnp.concatenate([px, jnp.zeros((max_pix,), jnp.float32)]),
+                    (k,),
+                    (max_pix,),
+                ),
+                lambda px: px,
+                pixels,
+            )
         n_valid = n_out - k
         pend = pend - k
 
@@ -519,6 +529,37 @@ def make_multi_step(config: PipelineConfig, params: Params):
     make_channels_step, which avoids executing both cond branches per
     channel per block."""
     return jax.vmap(make_step(config, params, batched=True))
+
+
+def make_channels_step_unrolled(config: PipelineConfig, params: Params,
+                                n_channels: int):
+    """Unrolled multi-channel step: the single-channel step repeated
+    n_channels times in one program (same stacked-state signature as
+    make_channels_step).
+
+    Unlike the vmapped forms, every lax.cond stays a REAL branch per
+    channel — an emit/autocorr body runs only for channels actually
+    crossing a boundary, with no any()-gating or per-channel selects.
+    Trades ~n_channels x compile time for that sparsity, and the program
+    contains no batched (vmapped) kernels — it is n copies of the
+    TPU-proven single-channel program glued together (batched=False: each
+    channel may use the Mosaic resampler and the gated sync-skip), which
+    also sidesteps batched-program miscompiles on fragile runtimes (see
+    STATUS.md round-2 notes)."""
+    step = make_step(config, params, batched=False)
+
+    def cstep(states: StreamState, raws, controls: StepControls):
+        news, outs = [], []
+        for c in range(n_channels):
+            st_c = jax.tree.map(lambda x: x[c], states)
+            ct_c = jax.tree.map(lambda x: x[c], controls)
+            st2, out = step(st_c, raws[c], ct_c)
+            news.append(st2)
+            outs.append(out)
+        stack = lambda *xs: jnp.stack(xs)
+        return (jax.tree.map(stack, *news), jax.tree.map(stack, *outs))
+
+    return cstep
 
 
 def make_scan_runner(config: PipelineConfig, params: Params, n_blocks: int):

@@ -200,6 +200,44 @@ def test_channels_step_matches_per_channel():
         np.testing.assert_array_equal(np.asarray(states.frame_count[c]), np.asarray(s.frame_count))
 
 
+def test_channels_step_unrolled_matches_gated():
+    """make_channels_step_unrolled (real per-channel conds, no vmap) must be
+    bit-compatible with the any()-gated vmapped channels step."""
+    import jax.numpy as jnp
+    from tempestsdr_tpu.stream.pipeline import (
+        make_channels_step,
+        make_channels_step_unrolled,
+    )
+
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=True)
+    params = Params(framerate_pll=True)
+    C = 3
+    n_blocks = 16
+    per_ch = [gen_blocks(n_blocks, cfg.block_samples, seed=10 + c) for c in range(C)]
+
+    stepG = jax.jit(make_channels_step(cfg, params, C))
+    stepU = jax.jit(make_channels_step_unrolled(cfg, params, C))
+    sG = stack_states(cfg, C)
+    sU = stack_states(cfg, C)
+    ctrl = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (C,) + x.shape),
+                        StepControls.default())
+    for b in range(n_blocks):
+        raws = jnp.stack([jnp.asarray(per_ch[c][b]) for c in range(C)])
+        sG, oG = stepG(sG, raws, ctrl)
+        sU, oU = stepU(sU, raws, ctrl)
+        np.testing.assert_array_equal(np.asarray(oG.frame_valid),
+                                      np.asarray(oU.frame_valid))
+        for c in range(C):
+            if bool(oG.frame_valid[c]):
+                np.testing.assert_allclose(np.asarray(oU.frame[c]),
+                                           np.asarray(oG.frame[c]),
+                                           rtol=1e-5, atol=1e-6)
+    for a, b2 in zip(jax.tree.leaves(sG), jax.tree.leaves(sU)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(n_channel=4, n_time=4)  # 16 > 8 devices
