@@ -115,7 +115,28 @@ def _pick_resampler(config: PipelineConfig, params: Params, batched: bool = Fals
         )
 
         return box_resample_pallas if choice == "pallas" else box_resample_pallas_windows
+    if choice == "fused":
+        # handled before the resampler dispatch (see _fused_wanted); reaching
+        # here means the fused preconditions failed — use the XLA strided form
+        return box_resample_strided
     raise ValueError(f"unknown resampler {choice!r}")
+
+
+def _fused_wanted(config: PipelineConfig, params: Params, batched: bool) -> bool:
+    """Static preconditions for the fused demod+resample Mosaic kernel
+    (pallas/fused_kernel.py): explicit opt-in via Params.resampler='fused',
+    single-channel step, no FIR (the kernel resamples the raw envelope), box
+    mode, the reference's standard 2x-oversampled geometry (m == 2), and a
+    4096-aligned block. The raw-block dtype (u8/i8 1-D) is checked at trace
+    time in pre()."""
+    if params.resampler != "fused" or batched:
+        return False
+    if params.nearest_neighbour or params.fir_lowpass_taps:
+        return False
+    plan = plan_strided(config.samples_per_pixel, config.resample_taps)
+    if plan is None or plan[0] != 2:
+        return False
+    return config.block_samples % 4096 == 0
 
 
 class StepControls(NamedTuple):
@@ -231,11 +252,6 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
         )
 
     def pre(state: StreamState, raw, controls: StepControls):
-        env = am_demod(normalize_iq(raw))  # f32[n] — the MXU pairing-matmul
-        # demod; the u16-bitcast fused form (demod_raw_interleaved) measured
-        # 2.3x SLOWER on the VPU (bench/REGRESS_PROFILE.json): 16-bit
-        # integer decode does not vectorize as well as f32 square+matmul
-
         # ---- drop compensation: fold the whole-2-frame sample skip into the
         # resampler phase (dsp_dropped_compensation semantics, dsp.c:313-368)
         dropped = controls.samples_dropped.astype(jnp.int64)
@@ -243,6 +259,69 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
         new_skip = jnp.where(dropped > 0, (skip_before - dropped) % block2, skip_before)
         phase = state.phase_fix + ((new_skip - skip_before) << FRAC_BITS)
         drop_all = phase >= (jnp.int64(n) << FRAC_BITS)
+
+        # ---- PLL's refresh delta modulates the fixed-point samples-per-pixel
+        # (set_internal_samplerate TSDRLibrary.c:540-550 re-derivation, with
+        # width held static)
+        delta = state.pll.refresh_delta
+        corr_factor = delta / (jnp.float32(config.refreshrate) + delta)
+        inv_corr = jnp.round(jnp.float32(inv0_fix) * corr_factor).astype(jnp.int64)
+        inv_fix = jnp.int64(inv0_fix) - inv_corr
+
+        # ---- demod + fractional resample to pixel rate
+        if (
+            _fused_wanted(config, params, batched)
+            and raw.ndim == 1
+            and raw.dtype in (jnp.uint8, jnp.int8)
+        ):
+            # one Mosaic kernel decodes the raw bytes, emits the envelope for
+            # the autocorr feed AND the resampled pixels (no intermediate
+            # round-trips HBM between demod and resample)
+            from ..pallas.fused_kernel import fused_demod_resample
+
+            env, pixels, n_out, phase2 = fused_demod_resample(
+                raw,
+                state.tail,
+                phase,
+                inv_fix,
+                n_samples=n,
+                max_pix=max_pix,
+                taps=taps,
+                inv_nominal=config.samples_per_pixel,
+            )
+            new_tail = env[n - taps:]
+        else:
+            env = am_demod(normalize_iq(raw))  # f32[n] — the MXU
+            # pairing-matmul demod; the u16-bitcast form
+            # (demod_raw_interleaved) measured 2.3x SLOWER standalone on the
+            # VPU (bench/REGRESS_PROFILE.json) but wins when fused into the
+            # resample kernel (fused_demod_resample above)
+            env_rs = env
+            # ---- optional FIR low-pass (overlap-save); the autocorr ring is
+            # fed the pre-FIR envelope (frameratedetector_run consumes the
+            # demodulated stream before decimation, TSDRLibrary.c:287-293)
+            if params.fir_lowpass_taps:
+                env_rs, fir_tail_new = fir_apply_block(env, state.fir_tail, fir_taps)
+            x_ext = jnp.concatenate([state.tail, env_rs])
+            if params.nearest_neighbour:
+                pixels, n_out, phase2 = nn_resample_block(
+                    env_rs, phase, inv_fix, n_samples=n, max_pix=max_pix
+                )
+            else:
+                pixels, n_out, phase2 = _pick_resampler(config, params, batched)(
+                    x_ext,
+                    phase,
+                    inv_fix,
+                    n_samples=n,
+                    max_pix=max_pix,
+                    taps=taps,
+                    inv_nominal=config.samples_per_pixel,
+                )
+            new_tail = x_ext[x_ext.shape[0] - taps :]
+        if params.fir_lowpass_taps:
+            fir_tail = fir_tail_new
+        else:
+            fir_tail = state.fir_tail
 
         # ---- autocorrelation accumulation (frameratedetector_run
         # TSDRLibrary.c:287-293, frameratedetector.c:215-230)
@@ -258,37 +337,6 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
         else:
             round_done = jnp.asarray(False)
             ac_buf, ac_fill = state.ac_buf, state.ac_fill
-
-        # ---- optional FIR low-pass (overlap-save)
-        if params.fir_lowpass_taps:
-            env, fir_tail = fir_apply_block(env, state.fir_tail, fir_taps)
-        else:
-            fir_tail = state.fir_tail
-
-        # ---- fractional resample to pixel rate; the PLL's refresh delta
-        # modulates the fixed-point samples-per-pixel (set_internal_samplerate
-        # TSDRLibrary.c:540-550 re-derivation, with width held static)
-        delta = state.pll.refresh_delta
-        corr_factor = delta / (jnp.float32(config.refreshrate) + delta)
-        inv_corr = jnp.round(jnp.float32(inv0_fix) * corr_factor).astype(jnp.int64)
-        inv_fix = jnp.int64(inv0_fix) - inv_corr
-
-        x_ext = jnp.concatenate([state.tail, env])
-        if params.nearest_neighbour:
-            pixels, n_out, phase2 = nn_resample_block(
-                env, phase, inv_fix, n_samples=n, max_pix=max_pix
-            )
-        else:
-            pixels, n_out, phase2 = _pick_resampler(config, params, batched)(
-                x_ext,
-                phase,
-                inv_fix,
-                n_samples=n,
-                max_pix=max_pix,
-                taps=taps,
-                inv_nominal=config.samples_per_pixel,
-            )
-        new_tail = x_ext[x_ext.shape[0] - taps :]
 
         # ---- manual sync shift as a pixel skip (tsdr_sync TSDRLibrary.c:576-602
         # consumed via compensation in decimatingthread :345-346). k == 0 on

@@ -25,6 +25,42 @@ def interpret_pallas(monkeypatch):
     return rk
 
 
+@pytest.mark.parametrize("dtype", ["uint8", "int8"])
+def test_fused_demod_resample_matches_unfused(dtype):
+    """fused_demod_resample (interpret mode on CPU) == am_demod(normalize_iq)
+    + box_resample_strided, for both raw byte encodings."""
+    from tempestsdr_tpu.ops.demod import am_demod, normalize_iq
+    from tempestsdr_tpu.ops.resample import box_resample_strided
+    from tempestsdr_tpu.pallas.fused_kernel import fused_demod_resample
+
+    rng = np.random.default_rng(7)
+    n = 1 << 14
+    inv0 = 0.500004
+    taps = 2
+    max_pix = int(n / inv0 * 1.02) + 2
+    raw = rng.integers(0, 256, size=2 * n).astype(dtype)
+    if dtype == "int8":
+        raw = (raw.astype(np.int16) - 128).astype(np.int8)
+    raw = jnp.asarray(raw)
+    tail = jnp.asarray(rng.normal(size=taps).astype(np.float32))
+    phase = jnp.int64(-987654321)
+    inv_fix = jnp.int64(round(inv0 * (1 << FRAC_BITS))) + 777
+
+    env_ref = am_demod(normalize_iq(raw))
+    px_ref, n_ref, ph_ref = box_resample_strided(
+        jnp.concatenate([tail, env_ref]), phase, inv_fix,
+        n_samples=n, max_pix=max_pix, taps=taps, inv_nominal=inv0,
+    )
+    env, px, n_out, ph = fused_demod_resample(
+        raw, tail, phase, inv_fix,
+        n_samples=n, max_pix=max_pix, taps=taps, inv_nominal=inv0,
+    )
+    assert int(n_out) == int(n_ref) and int(ph) == int(ph_ref)
+    np.testing.assert_array_equal(np.asarray(env), np.asarray(env_ref))
+    np.testing.assert_allclose(np.asarray(px), np.asarray(px_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("rate", [1.99876, 1.5123, 0.71234])
 def test_pallas_resample_matches_chunked(interpret_pallas, rate):
     rk = interpret_pallas

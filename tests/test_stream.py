@@ -91,6 +91,40 @@ def test_pallas_strided_step_matches_default():
         np.testing.assert_allclose(fb, fa, atol=2e-3)
 
 
+def test_fused_step_matches_default():
+    """A step built with Params(resampler="fused") (one Mosaic kernel doing
+    byte decode + demod + resample, interpret mode on CPU) must produce the
+    same frames and cadence as the default XLA chain on u8 raw blocks."""
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    raster = render_test_pattern(LINES, TWIDTH)
+
+    def run(params):
+        step = jax.jit(make_step(cfg, params), donate_argnums=0)
+        state = init_state(cfg)
+        pixclock = raster.shape[0] * raster.shape[1] * cfg.refreshrate
+        ctrl = StepControls.default()
+        frames, outs = [], []
+        pos = 0
+        for _ in range(40):
+            blk = synth_iq(raster, samplerate=cfg.samplerate,
+                           pixelclock=pixclock, n_samples=cfg.block_samples,
+                           start_sample=pos, noise=0.005, dtype=np.uint8)
+            pos += cfg.block_samples
+            state, out = step(state, jnp.asarray(blk), ctrl)
+            outs.append((int(out.n_pixels), bool(out.frame_valid)))
+            if bool(out.frame_valid):
+                frames.append(np.asarray(out.frame))
+        return frames, outs
+
+    frames_ref, outs_ref = run(Params(framerate_pll=False))
+    frames_f, outs_f = run(Params(framerate_pll=False, resampler="fused"))
+    assert outs_ref == outs_f
+    assert len(frames_ref) == len(frames_f) > 0
+    for fa, fb in zip(frames_ref, frames_f):
+        np.testing.assert_allclose(fb, fa, atol=2e-3)
+
+
 def test_stream_state_is_deterministic():
     """Same input -> bit-identical carry (the reference can't promise this
     across thread schedules; the functional design can)."""
