@@ -25,8 +25,9 @@ def interpret_pallas(monkeypatch):
     return rk
 
 
+@pytest.mark.parametrize("layout", ["u32", "u16"])
 @pytest.mark.parametrize("dtype", ["uint8", "int8"])
-def test_fused_demod_resample_matches_unfused(dtype):
+def test_fused_demod_resample_matches_unfused(dtype, layout):
     """fused_demod_resample (interpret mode on CPU) == am_demod(normalize_iq)
     + box_resample_strided, for both raw byte encodings."""
     from tempestsdr_tpu.ops.demod import am_demod, normalize_iq
@@ -54,6 +55,7 @@ def test_fused_demod_resample_matches_unfused(dtype):
     env, px, n_out, ph = fused_demod_resample(
         raw, tail, phase, inv_fix,
         n_samples=n, max_pix=max_pix, taps=taps, inv_nominal=inv0,
+        layout=layout,
     )
     assert int(n_out) == int(n_ref) and int(ph) == int(ph_ref)
     np.testing.assert_array_equal(np.asarray(env), np.asarray(env_ref))
