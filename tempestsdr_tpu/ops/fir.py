@@ -8,7 +8,8 @@ wideband streaming (BASELINE.json config 4): the block convolution carries
 ppermute halo in the sharded path (..parallel.timeshard).
 
 The convolution is expressed as lax.conv_general_dilated so XLA lowers it
-onto the MXU/VPU; a fused Pallas demod+FIR kernel lives in ..pallas.
+onto the MXU/VPU (probe-measured at the roofline for this op class; the
+Mosaic kernels in ..pallas cover the resampler, which dominates).
 """
 
 from __future__ import annotations
