@@ -226,6 +226,67 @@ def main():
         timeit(label, s_post, carry, frames2d,
                samples=4 * cfg.frame_pixels // 2)
 
+    # ---- post-process internals (each op isolated, scanned over frames):
+    # locates where the 0.58 ms/frame goes — big-frame reductions vs the
+    # many small-array sync kernels vs the autoshift roll
+    from tempestsdr_tpu.ops.frame import autogain_run, collapse_v_h, time_lowpass
+    from tempestsdr_tpu.ops.sync import (
+        FRAMERATE_DX_LOWPASS_COEFF_WIDTH,
+        find_the_sweet_spot,
+        framerate_pll,
+    )
+
+    pcfg = PipelineConfig(samplerate=64e6, height=628, refreshrate=60.0,
+                          block_samples=block)
+    frames2d = jnp.asarray(rng.random((4, pcfg.height, pcfg.width), np.float32))
+    fsamp = 4 * cfg.frame_pixels // 2
+
+    def s_autogain(carry, xs):
+        def body(c, fr):
+            out, mn, mx, snr = autogain_run(fr, c[0], c[1])
+            return (mn, mx), out[0, 0] + snr
+        return lax.scan(body, carry, xs)
+    timeit("post:autogain", jax.jit(s_autogain),
+           (jnp.float32(0), jnp.float32(1)), frames2d, samples=fsamp)
+
+    def s_iir(carry, xs):
+        def body(screen, fr):
+            screen = time_lowpass(screen, fr, jnp.float32(0.5))
+            return screen, screen[0, 0]
+        return lax.scan(body, carry, xs)
+    timeit("post:iir", jax.jit(s_iir),
+           jnp.zeros((pcfg.height, pcfg.width), jnp.float32), frames2d,
+           samples=fsamp)
+
+    for lbl, precise in (("post:collapse-f64", True), ("post:collapse-f32", False)):
+        def s_col(carry, xs, precise=precise):
+            def body(c, fr):
+                wp, hp = collapse_v_h(fr, precise)
+                return c, wp[0] + hp[0]
+            return lax.scan(body, carry, xs)
+        timeit(lbl, jax.jit(s_col), jnp.float32(0), frames2d, samples=fsamp)
+
+    def s_syncsmall(carry, xs):
+        def body(c, fr):
+            sx, pll = c
+            wprof = jnp.sum(fr, axis=0, dtype=jnp.float64)
+            sx, _, _ = find_the_sweet_spot(
+                sx, wprof, int(pcfg.width * np.float32(0.05)),
+                FRAMERATE_DX_LOWPASS_COEFF_WIDTH)
+            pll = framerate_pll(pll, sx.vx, enabled=True, max_delta=1.2)
+            return (sx, pll), pll.refresh_delta
+        return lax.scan(body, carry, xs)
+    timeit("post:sync-small(1axis+pll)", jax.jit(s_syncsmall),
+           (SweetspotState.init(), PLLState.init()), frames2d, samples=fsamp)
+
+    def s_roll(carry, xs):
+        def body(c, fr):
+            out = jnp.roll(fr, shift=(-c[0], -c[1]), axis=(0, 1))
+            return c, out[0, 0]
+        return lax.scan(body, carry, xs)
+    timeit("post:roll", jax.jit(s_roll),
+           (jnp.int32(17), jnp.int32(333)), frames2d, samples=fsamp)
+
     # ---- full production step
     for label, params, hps, b in (
         ("step:full", Params(), True, 2 + 4 + 8 + 8),
