@@ -238,6 +238,55 @@ def test_channels_step_unrolled_matches_gated():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_channels_step_unrolled_desynced_cadence():
+    """After a drop desynchronizes one channel's frame boundaries from the
+    others (the worst case for the any()-gated step, stream/pipeline.py
+    make_channels_step notes), the unrolled step must still match it
+    channel-for-channel."""
+    import jax.numpy as jnp
+    from tempestsdr_tpu.stream.pipeline import (
+        make_channels_step,
+        make_channels_step_unrolled,
+    )
+
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params(framerate_pll=False)
+    C = 3
+    n_blocks = 24
+    per_ch = [gen_blocks(n_blocks, cfg.block_samples, seed=30 + c) for c in range(C)]
+
+    stepG = jax.jit(make_channels_step(cfg, params, C))
+    stepU = jax.jit(make_channels_step_unrolled(cfg, params, C))
+    sG = stack_states(cfg, C)
+    sU = stack_states(cfg, C)
+    base = StepControls.default()
+    emits_u = [0] * C
+    for b in range(n_blocks):
+        # block 5: channel 1 reports a large hardware drop (not a multiple of
+        # a block) — its frame boundaries land in different blocks afterwards
+        dropped = jnp.asarray(
+            [0, 37777 if b == 5 else 0, 0], jnp.int64)
+        ctrl = StepControls(dropped,
+                            jnp.broadcast_to(base.syncoffset, (C,)),
+                            jnp.broadcast_to(base.motionblur, (C,)))
+        raws = jnp.stack([jnp.asarray(per_ch[c][b]) for c in range(C)])
+        sG, oG = stepG(sG, raws, ctrl)
+        sU, oU = stepU(sU, raws, ctrl)
+        np.testing.assert_array_equal(np.asarray(oG.frame_valid),
+                                      np.asarray(oU.frame_valid))
+        for c in range(C):
+            if bool(oG.frame_valid[c]):
+                emits_u[c] += 1
+                np.testing.assert_allclose(np.asarray(oU.frame[c]),
+                                           np.asarray(oG.frame[c]),
+                                           rtol=1e-5, atol=1e-6)
+    assert all(e > 0 for e in emits_u)
+    for a, b2 in zip(jax.tree.leaves(sG), jax.tree.leaves(sU)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(n_channel=4, n_time=4)  # 16 > 8 devices
