@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -34,7 +35,11 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--channels", type=int, default=0,
                     help="profile the N-channel step instead of single-stream")
+    ap.add_argument("--only", type=str, default=None,
+                    help="regex: measure only matching rows (results merge "
+                         "into the existing PROFILE.json)")
     args = ap.parse_args()
+    only_re = re.compile(args.only) if args.only else None
 
     import jax
 
@@ -61,6 +66,8 @@ def main():
     def timeit(name, scan_fn, carry, xs, bytes_per_sample=None, samples=None):
         """scan_fn: jitted f(carry, xs) -> (carry, reduced). Times M dispatches
         of K iterations, fetches the reduced output."""
+        if only_re is not None and not only_re.search(name):
+            return carry
         n_samp = samples if samples is not None else K * block
         t0 = time.monotonic()
         carry, out = scan_fn(carry, xs)
@@ -572,6 +579,11 @@ def main():
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "PROFILE.json")
+    if only_re is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"# wrote {out_path}", flush=True)

@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="blocks per device dispatch (amortizes dispatch "
                         "latency; adds control latency)")
     p.add_argument("--out", default=None, help="directory for frame snapshots")
+    p.add_argument("--plot-out", default=None,
+                   help="directory for rendered autocorr plot images "
+                        "(PlotVisualizer equivalent, one per estimation round)")
     p.add_argument("--save-every", type=int, default=30, help="snapshot cadence (frames)")
     p.add_argument("--format", default="pgm", choices=["pgm", "npy", "png"])
     p.add_argument("--invert", action="store_true",
@@ -77,8 +80,24 @@ def main(argv=None) -> int:
 
     detected = {"est": None}
 
+    plot_rounds = {"n": 0}
+
     def on_plot(ev):
         nonlocal tracker
+        if args.plot_out:
+            from .estimate.plotrender import render_plot, save_plot
+
+            kind = "frame" if ev.plot_id.name == "FRAME" else "line"
+            if kind == "frame":
+                plot_rounds["n"] += 1
+            img, info = render_plot(
+                np.asarray(ev.values), offset=ev.offset,
+                samplerate=ev.samplerate, kind=kind)
+            path = os.path.join(
+                args.plot_out,
+                f"autocorr_{kind}_{plot_rounds['n']:04d}.{args.format}")
+            save_plot(img, path)
+            log(f"plot {kind}: peak {info['label']} -> {path}")
         if tracker is None:
             return
         est = tracker.feed(ev)
@@ -107,6 +126,8 @@ def main(argv=None) -> int:
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
+    if args.plot_out:
+        os.makedirs(args.plot_out, exist_ok=True)
 
     def on_frame(f: np.ndarray):
         nonlocal n_frames

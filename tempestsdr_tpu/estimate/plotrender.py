@@ -1,0 +1,144 @@
+"""Autocorrelation plot rendering — the GUI plot widget's drawing pipeline
+(JavaGUI/src/martin/tempest/gui/PlotVisualizer.java) as a headless image
+renderer.
+
+Reproduces the widget's two-stage pipeline exactly:
+  1. per-pixel-column max decimation of R(j) with running lowest/highest
+     tracking (PlotVisualizer.populateData, :200-247);
+  2. log-dB y mapping  px = H - (10*log10(v) - lo_db) * H / span_db
+     (LogScale.valtodb/valtopx, scale/LogScale.java:113-134,
+     DB_MULTIPLIER = 10), with the scale bounds taken from the decimated
+     data (LogScale.setLowestHighestValue, :162-171).
+
+The interactive parts (zoom/pan, mouse selection) stay host-side logic in
+`peaks.py`; this module covers the rendering capability so plot events can
+be dumped as images from the CLI (Main.java's plot panels, headless).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DB_MULTIPLIER = 10.0  # LogScale.java:28
+
+
+def decimate_max(data: np.ndarray, nwidth: int):
+    """Per-pixel-column max decimation (PlotVisualizer.populateData
+    :200-247).
+
+    Returns (visdata f64[nwidth], lowest, highest, max_index) with the
+    widget's exact semantics: columns are filled with the running local max
+    at each column boundary, lowest/highest track only those boundary
+    values (seeded from data[0]), and max_index is the global argmax.
+    """
+    data = np.asarray(data, np.float64)
+    size = len(data)
+    visdata = np.empty(nwidth, np.float64)
+    highest = lowest = data[0]
+    max_index = 0
+    max_val = data[0]
+    prev_px = 0
+    localmax = data[0]
+    for idx in range(size):
+        val = data[idx]
+        px = int(idx * nwidth / size)  # value_to_pixel_absolute, unzoomed
+        if 0 <= px < nwidth:
+            if prev_px != px:
+                if localmax > highest:
+                    highest = localmax
+                elif localmax < lowest:
+                    lowest = localmax
+                visdata[prev_px:px] = localmax
+                localmax = val
+                prev_px = px
+            elif val > localmax:
+                localmax = val
+        if val > max_val:
+            max_val = val
+            max_index = idx
+    visdata[prev_px:] = localmax
+    return visdata, lowest, highest, max_index
+
+
+def db_to_px(vals_db: np.ndarray, lo_db: float, hi_db: float, nheight: int):
+    """LogScale.valtopx (LogScale.java:131-134)."""
+    span = max(hi_db - lo_db, 1e-12)
+    return (nheight - (vals_db - lo_db) * nheight / span).astype(np.int64)
+
+
+def render_plot(
+    data: np.ndarray,
+    *,
+    offset: int,
+    samplerate: float,
+    nwidth: int = 640,
+    nheight: int = 240,
+    kind: str = "frame",
+    frame_lag: int | None = None,
+) -> tuple[np.ndarray, dict]:
+    """Render one autocorrelation window as a u8 grayscale image.
+
+    data: the plot-event values (our PLOT_ID_FRAME / PLOT_ID_LINE windows,
+    frameratedetector.c:121-122). kind selects the value transformer for the
+    peak annotation: "frame" -> fps = samplerate/lag (Main.java:1301-1303),
+    "line" -> height = frame_lag/line_lag (Main.java:1346-1349; frame_lag
+    defaults to samplerate/60 like the widget's default length).
+
+    Returns (img u8[nheight, nwidth] with 0=black background, 255=curve,
+    160=peak marker column, 64=baseline) and an info dict
+    {max_index, lag, value, label, lowest_db, highest_db}.
+    """
+    visdata, lowest, highest, max_index = decimate_max(data, nwidth)
+    floor = max(np.min(visdata[visdata > 0], initial=1e-12), 1e-12)
+    with np.errstate(divide="ignore"):
+        vals_db = DB_MULTIPLIER * np.log10(np.maximum(visdata, floor))
+    lo_db = DB_MULTIPLIER * np.log10(max(lowest, floor))
+    hi_db = DB_MULTIPLIER * np.log10(max(highest, floor))
+    ys = np.clip(db_to_px(vals_db, lo_db, hi_db, nheight), 0, nheight - 1)
+
+    img = np.zeros((nheight, nwidth), np.uint8)
+    img[nheight - 1, :] = 64
+    # connected polyline: each column fills between its own y and the
+    # previous column's y (the widget's drawPolyline equivalent)
+    prev_y = ys[0]
+    for x in range(nwidth):
+        y = ys[x]
+        lo, hi = (y, prev_y) if y <= prev_y else (prev_y, y)
+        img[lo : hi + 1, x] = 255
+        prev_y = y
+
+    peak_px = min(int(max_index * nwidth / len(data)), nwidth - 1)
+    marker = img[:, peak_px] == 0
+    img[marker, peak_px] = 160
+
+    lag = offset + max_index
+    if kind == "frame":
+        value = samplerate / lag
+        label = f"{value:.1f} fps"  # Main.java:1299
+    else:
+        flag = frame_lag if frame_lag is not None else samplerate / 60.0
+        value = flag / lag
+        err_lo = abs(flag / (lag + 1) - value)
+        err_hi = abs(flag / (lag - 1) - value) if lag > 1 else err_lo
+        err = int(round(max(err_lo, err_hi))) - 1  # Main.java:1338-1343
+        label = (
+            f"{int(round(value))} (±{err}) px" if err > 0 else f"{int(round(value))} px"
+        )
+    info = {
+        "max_index": int(max_index),
+        "lag": int(lag),
+        "value": float(value),
+        "label": label,
+        "lowest_db": float(lo_db),
+        "highest_db": float(hi_db),
+    }
+    return img, info
+
+
+def save_plot(img: np.ndarray, path: str) -> None:
+    """Write a rendered plot image (.pgm dependency-free, .png via PIL,
+    .npy raw) using the snapshot writer's format dispatch."""
+    from ..snapshot import save_frame
+
+    # save_frame expects floats in [0,1]
+    save_frame(img.astype(np.float32) / 255.0, path)

@@ -32,12 +32,16 @@ def time_lowpass(screenbuffer: jnp.ndarray, frame: jnp.ndarray, motionblur) -> j
     return screenbuffer * mb + frame * (1.0 - mb)
 
 
-def autogain_run(frame: jnp.ndarray, lastmin, lastmax, norm: float = 0.1):
+def autogain_run(frame: jnp.ndarray, lastmin, lastmax, norm: float = 0.1,
+                 stats_only: bool = False):
     """Dynamic-range normalization with IIR min/max tracking (dsp.c:41-94).
 
     frame: f32[...]; returns (normalized, lastmin', lastmax', snr).
     Special-coloured pixels (|v| > 250) pass through unscaled and are
     excluded from min/max, matching PIXEL_SPECIAL_COLOURS_ENABLED builds.
+    stats_only=True skips materializing the normalized frame (returns None
+    in its slot) — for callers that fuse the normalize into a later
+    elementwise pass (stream/pipeline._post_process_default_order).
     """
     f = frame
     flat0 = f.reshape(-1)[0]
@@ -53,7 +57,7 @@ def autogain_run(frame: jnp.ndarray, lastmin, lastmax, norm: float = 0.1):
     lastmin2 = one_minus * lastmin + norm * cur_min
     span = jnp.where(lastmax2 == lastmin2, 1.0, lastmax2 - lastmin2)
 
-    out = jnp.where(special, f, (f - lastmin2) / span)
+    out = None if stats_only else jnp.where(special, f, (f - lastmin2) / span)
 
     # image SNR = mean/stdev (dsp.c:68-93). Reference quirk: the mean's sum
     # skips special pixels but divides by the full size (:60-68), while the
@@ -65,7 +69,7 @@ def autogain_run(frame: jnp.ndarray, lastmin, lastmax, norm: float = 0.1):
     sum3 = jnp.sum(d, dtype=jnp.float32)
     var = (sum2 - sum3 * sum3 / n) / (n - 1)
     snr = mean / jnp.sqrt(jnp.maximum(var, 1e-30))
-    return out.astype(jnp.float32), lastmin2, lastmax2, snr
+    return (None if out is None else out.astype(jnp.float32)), lastmin2, lastmax2, snr
 
 
 def collapse_v_h(frame: jnp.ndarray, precise: bool = True):

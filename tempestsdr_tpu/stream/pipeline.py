@@ -152,8 +152,9 @@ class StepControls(NamedTuple):
         return StepControls(jnp.int64(0), jnp.int32(0), jnp.float32(0.0))
 
 
-def _sync_detect(config: PipelineConfig, params: Params, data2d, sync_x, sync_y, pll, wprof, hprof):
-    """syncdetector_run (syncdetector.c:171-226)."""
+def _sync_positions(config: PipelineConfig, params: Params, sync_x, sync_y, pll, wprof, hprof):
+    """Position half of syncdetector_run (syncdetector.c:171-186): sweet-spot
+    detection on both collapsed profiles + the frame-rate PLL update."""
     sx, _, _ = find_the_sweet_spot(
         sync_x, wprof, int(config.width * np.float32(0.05)), FRAMERATE_DX_LOWPASS_COEFF_WIDTH
     )
@@ -166,23 +167,68 @@ def _sync_detect(config: PipelineConfig, params: Params, data2d, sync_x, sync_y,
         enabled=params.framerate_pll,
         max_delta=PLL_HEADROOM_FRAC * config.refreshrate,
     )
+    return sx, sy, pll
 
+
+def _sync_apply(params: Params, data2d, sx, sy):
+    """Frame half of syncdetector_run (syncdetector.c:187-218): autoshift
+    quadrant rotation == circular shift moving the detected blanking strips
+    to the frame edges, or green crosshair debug markers."""
     if params.autoshift:
-        # quadrant rotation (syncdetector.c:187-207) == circular shift moving
-        # the detected blanking strips to the frame edges
-        out = jnp.roll(data2d, shift=(-sy.dx, -sx.dx), axis=(0, 1))
-    elif params.debug_markers:
+        return jnp.roll(data2d, shift=(-sy.dx, -sx.dx), axis=(0, 1))
+    if params.debug_markers:
         h, w = data2d.shape
         col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) == sx.dx
         row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) == sy.dx
-        out = jnp.where(col | row, jnp.float32(PIXEL_SPECIAL_VALUE_G), data2d)
-    else:
-        out = data2d
-    return out, sx, sy, pll
+        return jnp.where(col | row, jnp.float32(PIXEL_SPECIAL_VALUE_G), data2d)
+    return data2d
+
+
+def _sync_detect(config: PipelineConfig, params: Params, data2d, sync_x, sync_y, pll, wprof, hprof):
+    """syncdetector_run (syncdetector.c:171-226)."""
+    sx, sy, pll = _sync_positions(config, params, sync_x, sync_y, pll, wprof, hprof)
+    return _sync_apply(params, data2d, sx, sy), sx, sy, pll
+
+
+def _post_process_default_order(config: PipelineConfig, params: Params, frame2d,
+                                screen, ag, sync_x, sync_y, pll, motionblur):
+    """dsp_post_process for the default order (autogain before sync, lowpass
+    after sync — dsp.c:192-226 with both order flags 0), restructured to
+    minimize frame passes on TPU (ROOFLINE.md emit-body budget):
+
+    The sweet-spot metric m = ((total-w)/(n-s) - w/s)^2 is invariant under
+    any affine profile transform p -> a*p + b: the circular Gaussian blur and
+    the window sums are linear and the constant offset cancels between the
+    inside/outside strip means, leaving m' = a^2 * m — same argmax, same
+    detected positions. Autogain normalization IS an affine transform of the
+    frame (no |v|>250 special pixels can exist here: the resampler feeding
+    this frame averages envelopes <= sqrt(2), and debug markers are drawn
+    only downstream of the collapse in this order), so the collapse runs on
+    the RAW frame and the normalized frame never needs materializing —
+    the normalize, shift/markers and motion-blur IIR fuse into one
+    elementwise pass. Outputs are bit-identical to the general path.
+    """
+    f = frame2d
+    _, mn, mx, snr = autogain_run(f, ag[0], ag[1], NORMALISATION_LOWPASS_COEFF,
+                                  stats_only=True)
+    ag = (mn, mx, snr)
+    wprof, hprof = collapse_v_h(f, config.high_precision_sync)
+    sync_x, sync_y, pll = _sync_positions(
+        config, params, sync_x, sync_y, pll, wprof, hprof
+    )
+    span = jnp.where(mx == mn, 1.0, mx - mn)
+    norm = (f - mn) / span  # specials impossible here (see docstring)
+    syncres = _sync_apply(params, norm, sync_x, sync_y)
+    screen = time_lowpass(screen, syncres, motionblur)
+    return screen, screen, ag, sync_x, sync_y, pll
 
 
 def _post_process(config: PipelineConfig, params: Params, frame2d, screen, ag, sync_x, sync_y, pll, motionblur):
     """dsp_post_process (dsp.c:134-239): the configurable-order chain."""
+    if not params.autogain_after_proc and not params.lowpass_before_sync:
+        return _post_process_default_order(
+            config, params, frame2d, screen, ag, sync_x, sync_y, pll, motionblur
+        )
     inp = frame2d
     if not params.autogain_after_proc:
         inp, mn, mx, snr = autogain_run(inp, ag[0], ag[1], NORMALISATION_LOWPASS_COEFF)

@@ -71,3 +71,22 @@ def test_snapshot_formats(tmp_path):
     rgb = frame_to_rgb(frame)
     assert tuple(rgb[3, 3]) == (0, 255, 0)  # green marker
     assert rgb[0, 0, 0] == rgb[0, 0, 1] == rgb[0, 0, 2]
+
+
+def test_cli_plot_out(tmp_path, capsys):
+    plots = tmp_path / "plots"
+    rc = cli.main([
+        "--source", "synthetic",
+        "--source-params", "100 200 50 1000000 0.01",
+        "--height", "100", "--rate", "50",
+        "--block-samples", "8192",
+        "--frames", "6",
+        "--plot-out", str(plots),
+        "--no-pll",
+    ])
+    assert rc == 0
+    files = sorted(os.listdir(plots))
+    assert any("autocorr_frame" in f for f in files)
+    assert any("autocorr_line" in f for f in files)
+    captured = capsys.readouterr().out
+    assert "plot frame: peak" in captured

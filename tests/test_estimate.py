@@ -73,3 +73,124 @@ def test_autoresolution_requires_consistency():
     assert got is not None
     assert abs(got.refreshrate - sr / 33333) < 0.01
     assert got.height == round(33333 / 40)
+
+
+def test_plot_render_decimation_matches_widget_loop():
+    """decimate_max must reproduce PlotVisualizer.populateData (:200-247):
+    boundary-only lowest/highest tracking seeded from data[0], column fills
+    with the running local max, global argmax."""
+    import numpy as np
+    from tempestsdr_tpu.estimate.plotrender import decimate_max
+
+    rng = np.random.default_rng(3)
+    data = rng.random(1000)
+    data[700] = 5.0  # global peak
+    nwidth = 64
+
+    # literal transliteration of the Java loop as the oracle
+    size = len(data)
+    visdata = np.empty(nwidth)
+    highest = lowest = data[0]
+    max_index, max_val = 0, data[0]
+    prev_px, localmax = 0, data[0]
+    for idx in range(size):
+        val = data[idx]
+        px = int(idx * nwidth / size)
+        if 0 <= px < nwidth:
+            if prev_px != px:
+                if localmax > highest:
+                    highest = localmax
+                elif localmax < lowest:
+                    lowest = localmax
+                for i in range(prev_px, px):
+                    visdata[i] = localmax
+                localmax = val
+                prev_px = px
+            elif val > localmax:
+                localmax = val
+        if val > max_val:
+            max_val, max_index = val, idx
+    visdata[prev_px:] = localmax
+
+    vd, lo, hi, mi = decimate_max(data, nwidth)
+    np.testing.assert_array_equal(vd, visdata)
+    assert (lo, hi, mi) == (lowest, highest, max_index)
+
+
+def test_plot_render_image_and_labels():
+    import numpy as np
+    from tempestsdr_tpu.estimate.plotrender import render_plot
+
+    sr = 8_000_000
+    offset = sr // 87
+    n = sr // 55 - offset
+    data = np.full(n, 1e-3)
+    peak = sr // 60 - offset  # 60 fps lag
+    data[peak] = 1.0
+
+    img, info = render_plot(data, offset=offset, samplerate=sr, kind="frame",
+                            nwidth=320, nheight=120)
+    assert img.shape == (120, 320) and img.dtype == np.uint8
+    assert info["max_index"] == peak
+    assert abs(info["value"] - 60.0) < 0.05
+    assert "fps" in info["label"]
+    # the curve must reach the top at the peak column
+    peak_px = int(peak * 320 / n)
+    assert img[:, peak_px].max() == 255
+    assert img[0, peak_px] == 255  # peak maps to the top row
+
+    # line plot: height label via frame_lag/line_lag (Main.java:1346-1349)
+    line_off = int(sr / (1500 * 87))
+    ln = int(sr / (590 * 55)) - line_off
+    ldata = np.full(ln, 1e-3)
+    lines = 628
+    line_lag = int(round(sr / (60.0 * lines)))
+    ldata[line_lag - line_off] = 1.0
+    _, linfo = render_plot(ldata, offset=line_off, samplerate=sr, kind="line",
+                           frame_lag=sr // 60)
+    assert "px" in linfo["label"]
+    assert abs(linfo["value"] - lines) <= 2
+
+
+def test_plot_render_save(tmp_path):
+    import numpy as np
+    from tempestsdr_tpu.estimate.plotrender import render_plot, save_plot
+
+    data = np.abs(np.sin(np.arange(500) / 7.0)) + 1e-3
+    img, _ = render_plot(data, offset=100, samplerate=1e6, kind="frame")
+    p = str(tmp_path / "plot.pgm")
+    save_plot(img, p)
+    assert (tmp_path / "plot.pgm").stat().st_size > 100
+
+
+def test_meter_renderers():
+    import numpy as np
+    from tempestsdr_tpu.estimate.meters import (
+        HIGHEST_DB,
+        LOWEST_DB,
+        db_to_px,
+        render_autogain_meter,
+        render_snr_meter,
+        val_to_db,
+    )
+
+    # dB mapping matches LogScale (LogScale.java:113-134)
+    assert abs(val_to_db(1.0)) < 1e-12
+    assert abs(val_to_db(0.1) + 10.0) < 1e-12
+    assert db_to_px(HIGHEST_DB, 240) == 0
+    assert db_to_px(LOWEST_DB, 240) == 240
+
+    m = render_autogain_meter(0.01, 0.9)
+    assert m.shape == (240, 32)
+    inside = m[:, 0][m[:, 0] != 96]
+    assert len(inside) > 10  # gradient band exists
+    assert inside.min() < 40 and inside.max() > 200  # spans dark->bright
+
+    # degenerate span -> plain background
+    assert (render_autogain_meter(0.5, 0.5) == 96).all()
+
+    s = render_snr_meter(0.5)  # -3.01 dB, inside scale
+    ys = np.where(s[:, 0] == 255)[0]
+    assert len(ys) == 1
+    assert abs(int(ys[0]) - db_to_px(val_to_db(0.5), 240)) <= 1
+    assert (render_snr_meter(0.0) == 96).all()  # out of scale -> no marker

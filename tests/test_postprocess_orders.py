@@ -104,3 +104,48 @@ def test_post_process_order_matrix(lowpass_before, ag_after, autoshift):
     np.testing.assert_allclose(np.asarray(screen2), screen_ref, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(float(ag2[0]), ag_ref[0], atol=1e-4)
     np.testing.assert_allclose(float(ag2[1]), ag_ref[1], atol=1e-4)
+
+
+@pytest.mark.parametrize("autoshift", [False, True])
+@pytest.mark.parametrize("markers", [False, True])
+def test_default_order_fused_is_bit_exact(autoshift, markers):
+    """_post_process_default_order (raw-frame collapse via the affine
+    invariance of the sweet-spot metric + fused normalize/IIR pass) must be
+    bit-identical to the general composition for the default order."""
+    from tempestsdr_tpu.stream import pipeline as P
+    from tempestsdr_tpu.ops.sync import PLLState as PLLS
+
+    cfg = _mk_cfg()
+    params = Params(autoshift=autoshift, debug_markers=markers,
+                    framerate_pll=True)
+    rng = np.random.default_rng(7)
+    frame = (rng.random((H, W)) * 2).astype(np.float32)
+    frame[20:30] *= 0.1
+    frame[:, 50:60] *= 0.1
+    screen = rng.random((H, W)).astype(np.float32)
+    ag = (jnp.float32(0.1), jnp.float32(0.9), jnp.float32(1.0))
+    sx = SweetspotState(jnp.int32(11), jnp.int32(3), jnp.int32(0))
+    sy = SweetspotState(jnp.int32(2), jnp.int32(7), jnp.int32(0))
+
+    def general(fr, sc):
+        # the pre-fusion composition: autogain -> collapse(normalized) ->
+        # sync detect -> IIR
+        from tempestsdr_tpu.ops.frame import autogain_run, collapse_v_h, time_lowpass
+        inp, mn, mx, snr = autogain_run(fr, ag[0], ag[1], 0.1)
+        wp, hp = collapse_v_h(inp, cfg.high_precision_sync)
+        syncres, sx2, sy2, pll2 = P._sync_detect(
+            cfg, params, inp, sx, sy, PLLS.init(), wp, hp)
+        sc2 = time_lowpass(sc, syncres, jnp.float32(0.4))
+        return sc2, sc2, (mn, mx, snr), sx2, sy2, pll2
+
+    r1 = jax.jit(general)(jnp.asarray(frame), jnp.asarray(screen))
+    r2 = jax.jit(lambda fr, sc: P._post_process(
+        cfg, params, fr, sc, ag, sx, sy, PLLS.init(), jnp.float32(0.4)))(
+        jnp.asarray(frame), jnp.asarray(screen))
+    assert int(r1[3].dx) == int(r2[3].dx) and int(r1[4].dx) == int(r2[4].dx)
+    assert int(r1[3].stripsize) == int(r2[3].stripsize)
+    assert int(r1[3].vx) == int(r2[3].vx)
+    np.testing.assert_array_equal(np.asarray(r1[0]), np.asarray(r2[0]))
+    np.testing.assert_array_equal(np.asarray(r1[1]), np.asarray(r2[1]))
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(r1[2][i]), np.asarray(r2[2][i]))
