@@ -53,6 +53,13 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
+    if "--cpu-smoke" in sys.argv:
+        # harness self-check without TPU hardware: same code paths, CPU
+        # backend, quick sizes — numbers are meaningless, exercising every
+        # config guards the driver's unattended end-of-round run
+        jax.config.update("jax_platforms", "cpu")
+        sys.argv.append("--quick")
+
     quick = "--quick" in sys.argv
     only = _arg("--config")
     channels = _arg("--channels")
@@ -181,9 +188,11 @@ class BenchRunner:
         from tempestsdr_tpu.config import PipelineConfig
         from tempestsdr_tpu.params import Params
 
+        # 2^16: at 8 MS/s a 2^17 block can complete >1 frame per step, which
+        # the one-frame-per-step emit contract rejects (caught by --cpu-smoke)
         cfg = PipelineConfig(samplerate=8e6, height=628, refreshrate=60.0,
-                            block_samples=1 << 17)
-        K, M = (8, 2) if self.quick else (48, 8)
+                            block_samples=1 << 16)
+        K, M = (16, 2) if self.quick else (96, 8)
         r = self._timed_scan(cfg, Params(), K, M)
         r["vs_ref_fps"] = round(r["frames_per_s"] / REFERENCE_FPS, 1)
         print(f"# config1 replay@8MS/s: {r}", file=sys.stderr)
@@ -214,34 +223,55 @@ class BenchRunner:
         K, M = (8, 2) if self.quick else (32, 6)
         r = self._timed_scan(cfg, Params(), K, M, collect_ac=True)
 
-        # time-to-detect on a real (non-noise) capture, modest length
+        # time-to-detect on a real (non-noise) capture. Blocks are scanned
+        # B per dispatch (per-step dispatch through the remote relay is
+        # ~seconds — CLAUDE.md); the scan stacks each block's plot windows
+        # and they are fetched only for blocks whose round completed.
+        from jax import lax
+
         lines, twidth, refresh = 628, 424, 60.0
         raster = render_test_pattern(lines, twidth)
-        step = jax.jit(make_step(cfg, Params(framerate_pll=False)),
-                       donate_argnums=0)
+        step = make_step(cfg, Params(framerate_pll=False))
+        ctrl = StepControls.default()
+
+        def det_body(st, raw):
+            st, out = step(st, raw, ctrl)
+            return st, (out.ac_plot_valid, out.ac_frame_plot, out.ac_line_plot)
+
+        @jax.jit
+        def det_scan(st, raws):
+            return lax.scan(det_body, st, raws)
+
         state = init_state(cfg)
         tracker = AutoResolution(sr)
-        ctrl = StepControls.default()
         f_off, _ = cfg.ac_frame_window
         l_off, _ = cfg.ac_line_window
         pos = 0
         est = None
         t0 = time.monotonic()
-        max_blocks = 80
-        for _ in range(max_blocks):
-            blk = synth_iq(raster, samplerate=sr,
-                           pixelclock=lines * twidth * refresh,
-                           n_samples=cfg.block_samples, start_sample=pos,
-                           noise=0.02, dtype=np.uint8)
-            pos += cfg.block_samples
-            state, out = step(state, jnp.asarray(blk), ctrl)
-            if bool(out.ac_plot_valid):
+        B, max_blocks = 8, 80
+        for _ in range(max_blocks // B):
+            blks = np.stack([
+                synth_iq(raster, samplerate=sr,
+                         pixelclock=lines * twidth * refresh,
+                         n_samples=cfg.block_samples,
+                         start_sample=pos + i * cfg.block_samples,
+                         noise=0.02, dtype=np.uint8)
+                for i in range(B)
+            ])
+            state, (valids, fplots, lplots) = det_scan(state, jnp.asarray(blks))
+            valids = np.asarray(valids)
+            for i in np.nonzero(valids)[0]:
                 tracker.feed(PlotEvent(PLOT_ID.FRAME, f_off,
-                                       np.asarray(out.ac_frame_plot), sr))
+                                       np.asarray(fplots[i]), sr))
                 est = tracker.feed(PlotEvent(PLOT_ID.LINE, l_off,
-                                             np.asarray(out.ac_line_plot), sr))
+                                             np.asarray(lplots[i]), sr))
                 if est:
+                    pos += (int(i) + 1) * cfg.block_samples
                     break
+            if est:
+                break
+            pos += B * cfg.block_samples
         wall = time.monotonic() - t0
         if est:
             ok = abs(est.refreshrate - refresh) < 0.5 and abs(est.height - lines) <= 6
@@ -283,23 +313,38 @@ class BenchRunner:
         lines, twidth, refresh = 628, 424, 60.0
         raster = render_test_pattern(lines, twidth)
         params = Params(framerate_pll=False)
-        step = jax.jit(make_step(cfg, params), donate_argnums=0)
+        step = make_step(cfg, params)
+
+        from jax import lax
 
         def run_mb(mbv, n_blocks=40):
-            state = init_state(cfg)
-            pos = 0
-            last = None
+            # one scan dispatch for the whole capture; the last completed
+            # frame rides the carry so only it is fetched (per-step dispatch
+            # through the remote relay is ~seconds — CLAUDE.md)
             c = SC(jnp.int64(0), jnp.int32(0), jnp.float32(mbv))
-            for _ in range(n_blocks):
-                blk = synth_iq(raster, samplerate=sr,
-                               pixelclock=lines * twidth * refresh,
-                               n_samples=cfg.block_samples, start_sample=pos,
-                               noise=0.3, dtype=np.uint8)
-                pos += cfg.block_samples
-                state, out = step(state, jnp.asarray(blk), c)
-                if bool(out.frame_valid):
-                    last = np.asarray(out.frame)
-            return last
+
+            def body(carry, raw):
+                st, last = carry
+                st, out = step(st, raw, c)
+                last = jnp.where(out.frame_valid, out.frame, last)
+                return (st, last), out.frame_valid
+
+            @jax.jit
+            def run(carry, raws):
+                return lax.scan(body, carry, raws)
+
+            blks = np.stack([
+                synth_iq(raster, samplerate=sr,
+                         pixelclock=lines * twidth * refresh,
+                         n_samples=cfg.block_samples,
+                         start_sample=i * cfg.block_samples,
+                         noise=0.3, dtype=np.uint8)
+                for i in range(n_blocks)
+            ])
+            zero = jnp.zeros((cfg.height, cfg.width), jnp.float32)
+            (state, last), valids = run((init_state(cfg), zero), jnp.asarray(blks))
+            assert bool(np.asarray(valids).any())
+            return np.asarray(last)
 
         f_raw = run_mb(0.0)
         f_avg = run_mb(mb)
