@@ -509,6 +509,33 @@ def bench_mesh():
         dt = time.monotonic() - t0
         curve[T] = round(dt / K * 1e3, 2)
         print(f"# mesh T={T}: {curve[T]} ms/block", file=sys.stderr)
+    # channel-DP curve: C channels sharded over C devices vs C on 1 device
+    # (parallel/channels.py; config-5 pod math). Perfect DP => flat ms/block.
+    from tempestsdr_tpu.parallel.channels import make_channel_step, stack_states
+
+    ch_curve = {}
+    for C in (1, 2, 4, 8):
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:C]).reshape(C), ("ch",))
+        cstep = make_channel_step(cfg, params, mesh, n_channels=C)
+        ctrl = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (C,) + x.shape),
+            StepControls.default())
+        craws = jnp.asarray(rng.integers(
+            0, 256, size=(K, C, 2 * block), dtype=np.uint8))
+
+        def crun(states, craws):
+            for i in range(craws.shape[0]):
+                states, out = cstep(states, craws[i], ctrl)
+            return states, out.frame_valid
+
+        states = stack_states(cfg, C)
+        states, _ = crun(states, craws)  # warmup/compile
+        t0 = time.monotonic()
+        states, fv = crun(states, craws)
+        _ = np.asarray(fv)
+        ch_curve[C] = round((time.monotonic() - t0) / K * 1e3, 2)
+        print(f"# mesh ch={C}: {ch_curve[C]} ms/block", file=sys.stderr)
+
     overhead8 = round(curve[8] / curve[1], 2)
     print(json.dumps({
         "metric": "virtual_mesh_block_time_vs_shards",
@@ -516,6 +543,8 @@ def bench_mesh():
         "unit": "x_T1_blocktime_at_T8",
         "vs_baseline": 0.0,
         "curve_ms_per_block": curve,
+        "channel_dp_ms_per_block": ch_curve,
+        "channel_dp_efficiency_at_8": round(ch_curve[1] / ch_curve[8], 2),
     }))
     return 0
 
