@@ -233,6 +233,36 @@ def main():
         timeit(label, s_post, carry, frames2d,
                samples=4 * cfg.frame_pixels // 2)
 
+    # ---- A/B: the pre-fusion default-order composition (autogain ->
+    # collapse(normalized) -> sync -> IIR with the normalized frame
+    # materialized) vs the fused path measured by post:frame-* above
+    from tempestsdr_tpu.ops.frame import autogain_run as _ag, collapse_v_h as _cv, time_lowpass as _tl
+    from tempestsdr_tpu.stream.pipeline import _sync_detect as _sd
+
+    for label, precise in (("post:frame-general-f64", True),
+                           ("post:frame-general-f32", False)):
+        pcfg = PipelineConfig(samplerate=64e6, height=628, refreshrate=60.0,
+                             block_samples=block, high_precision_sync=precise)
+        pparams = Params()
+        frames2d = jnp.asarray(
+            rng.random((4, pcfg.height, pcfg.width), np.float32))
+
+        @jax.jit
+        def s_postg(carry, xs):
+            def body(carry, frame):
+                screen, ag, sx, sy, pll = carry
+                inp, mn, mx, snr = _ag(frame, ag[0], ag[1])
+                wp, hp = _cv(inp, precise)
+                syncres, sx, sy, pll = _sd(pcfg, pparams, inp, sx, sy, pll, wp, hp)
+                screen = _tl(screen, syncres, jnp.float32(0.0))
+                return (screen, (mn, mx, snr), sx, sy, pll), screen[0, 0]
+            return lax.scan(body, carry, xs)
+        carry = (jnp.zeros((pcfg.height, pcfg.width), jnp.float32),
+                 (jnp.float32(0), jnp.float32(0), jnp.float32(1)),
+                 SweetspotState.init(), SweetspotState.init(), PLLState.init())
+        timeit(label, s_postg, carry, frames2d,
+               samples=4 * cfg.frame_pixels // 2)
+
     # ---- post-process internals (each op isolated, scanned over frames):
     # locates where the 0.58 ms/frame goes — big-frame reductions vs the
     # many small-array sync kernels vs the autoshift roll
