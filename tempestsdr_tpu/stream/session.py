@@ -295,9 +295,25 @@ class Session:
                         self.state, raws, jnp.asarray(dropped_arr),
                         jnp.asarray(sync_arr), jnp.float32(self._motionblur)
                     )
-                    outs_host = jax.tree.map(np.asarray, outs)
+                    # fetch the small per-block fields in one transfer; the
+                    # big ones (frames, plot windows) stay on device and are
+                    # sliced/fetched only for blocks whose valid flag is set
+                    # (a wholesale fetch moves batch x frame+plots across the
+                    # relay every dispatch — hundreds of MB at high rates)
+                    small = jax.tree.map(
+                        np.asarray,
+                        outs._replace(frame=None, ac_frame_plot=None,
+                                      ac_line_plot=None),
+                    )
+                    fv = small.frame_valid
+                    pv = small.ac_plot_valid
                     for i in range(self.batch_blocks):
-                        out = jax.tree.map(lambda x: x[i], outs_host)
+                        out = jax.tree.map(lambda x: x[i], small)
+                        out = out._replace(
+                            frame=outs.frame[i] if fv[i] else None,
+                            ac_frame_plot=outs.ac_frame_plot[i] if pv[i] else None,
+                            ac_line_plot=outs.ac_line_plot[i] if pv[i] else None,
+                        )
                         blocks += 1
                         got = self._dispatch(out)
                         frames += got

@@ -272,6 +272,32 @@ def test_session_batched_matches_unbatched():
         np.testing.assert_array_equal(a, b)
 
 
+def test_session_batched_plots_match_unbatched():
+    """Plot events through the batch path (lazy big-field fetch) must match
+    the per-block path: same rounds, same window values."""
+    def run(batch):
+        src = SyntheticSource()
+        src.init(f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")
+        cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                             block_samples=8192)
+        plots, frames = [], []
+        sess = Session(cfg, Params(framerate_pll=False), src,
+                       SessionCallbacks(on_frame=frames.append,
+                                        on_plot=plots.append),
+                       batch_blocks=batch)
+        sess.run(max_blocks=48)
+        return frames, plots
+
+    f1, p1 = run(1)
+    f4, p4 = run(4)
+    assert len(p1) == len(p4) and len(p1) >= 2  # both FRAME and LINE events
+    for a, b in zip(p1, p4):
+        assert a.plot_id == b.plot_id and a.offset == b.offset
+        np.testing.assert_array_equal(np.asarray(a.values), np.asarray(b.values))
+    for a, b in zip(f1, f4):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_live_param_toggle_mid_stream():
     """Param flags flip while streaming (reference toggles params_int live):
     the session swaps its compiled step at the next block, carried state
