@@ -304,30 +304,58 @@ TIME_STRETCH_STRICT = 16
 STRICT_CORR = 0.9985
 
 
+# Strict-parity geometries: the 2 MS/s workhorse plus the flagship
+# BASELINE config-1 geometry (8 MS/s, 628 total lines @ 60 Hz — the rate the
+# reference demonstrated eavesdropping at, acs-dissertation.tex:548). The
+# flagship runs at TIME_STRETCH 64 (effective 125 kS/s replay) so the
+# reference stays drop-free even at 4x the data rate on a loaded host.
+STRICT_GEOMS = {
+    "2ms": dict(sr=SR, height=HEIGHT, twidth=133,
+                stretch=TIME_STRETCH_STRICT, file_samples=FILE_SAMPLES),
+    "8ms-flagship": dict(sr=8_000_000, height=628, twidth=424, stretch=64,
+                         file_samples=14 * 262_144),
+}
+
+
 @pytest.fixture(scope="module")
-def capture_clean(tmp_path_factory):
+def capture_clean_factory(tmp_path_factory):
     from tempestsdr_tpu.sources.synthetic import render_test_pattern, synth_iq
 
     d = tmp_path_factory.mktemp("capclean")
-    path = d / "cap0.bin"
-    raster = render_test_pattern(HEIGHT, 133)
-    iq = synth_iq(raster, samplerate=SR, pixelclock=HEIGHT * 133 * REFRESH,
-                  n_samples=FILE_SAMPLES, noise=0.0, dtype=np.uint8)
-    iq.tofile(path)
-    return str(path)
+    cache = {}
+
+    def get(key: str) -> str:
+        if key not in cache:
+            g = STRICT_GEOMS[key]
+            path = d / f"cap_{key}.bin"
+            raster = render_test_pattern(g["height"], g["twidth"])
+            iq = synth_iq(raster, samplerate=g["sr"],
+                          pixelclock=g["height"] * g["twidth"] * REFRESH,
+                          n_samples=g["file_samples"], noise=0.0,
+                          dtype=np.uint8)
+            iq.tofile(path)
+            cache[key] = str(path)
+        return cache[key]
+
+    return get
+
+
+@pytest.fixture(scope="module")
+def capture_clean(capture_clean_factory):
+    return capture_clean_factory("2ms")
 
 
 def _run_reference(ref_build, plugin_so, capture, n_ref, skip, values=False,
-                   stable=True):
+                   stable=True, sr=SR, height=HEIGHT):
     out = ref_build / f"frames_{plugin_so.stem}_{n_ref}_{skip}.bin"
     vals = ref_build / f"values_{plugin_so.stem}.txt"
     harness = "ref_harness_stable" if stable else "ref_harness"
     cmd = [str(ref_build / harness), str(plugin_so),
-           f"{capture} {SR} uint8", str(HEIGHT), str(REFRESH), str(out),
+           f"{capture} {sr} uint8", str(height), str(REFRESH), str(out),
            str(n_ref), str(skip)]
     if values:
         cmd.append(str(vals))
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr
     frames = read_ref_frames(out)
     ag = []
@@ -339,7 +367,8 @@ def _run_reference(ref_build, plugin_so, capture, n_ref, skip, values=False,
     return frames, ag
 
 
-def _run_ours(capture, n_frames, drop_at_vals=None, drop_n=0):
+def _run_ours(capture, n_frames, drop_at_vals=None, drop_n=0, sr=SR,
+              height=HEIGHT):
     """Single pass over the capture file's values; optional injected gap at
     value index drop_at_vals (skip 2*drop_n values, report drop_n samples)."""
     from tempestsdr_tpu.config import PipelineConfig
@@ -347,7 +376,7 @@ def _run_ours(capture, n_frames, drop_at_vals=None, drop_n=0):
     from tempestsdr_tpu.stream import make_step, init_state
     from tempestsdr_tpu.stream.pipeline import StepControls
 
-    cfg = PipelineConfig(samplerate=SR, height=HEIGHT, refreshrate=REFRESH,
+    cfg = PipelineConfig(samplerate=sr, height=height, refreshrate=REFRESH,
                          block_samples=1 << 14, autocorr=False)
     params = Params(framerate_pll=False, autocorr_plots_off=True)
     step = jax.jit(make_step(cfg, params), donate_argnums=0)
@@ -393,18 +422,27 @@ def _best_constant_lag(ref_frames, ours, pairs):
     return best_d, best_m
 
 
-def test_strict_dropfree_frame_and_autogain_parity(ref_build, capture_clean):
+@pytest.mark.parametrize("geom", list(STRICT_GEOMS))
+def test_strict_dropfree_frame_and_autogain_parity(ref_build,
+                                                   capture_clean_factory,
+                                                   geom):
     """Drop-free regime: every reference frame k >= 1 must equal our frame
     k+d (one constant startup lag) at zero-shift correlation >= 0.999, and
     the autogain min/max trajectory (VALUE_ID_AUTOGAIN every 7th frame,
-    dsp.c:231-235) must match numerically (match: dsp.c:41-94)."""
-    so = build_plugin(ref_build, "strict", TIME_STRETCH_STRICT)
-    n_ref = 12
-    ours, our_ag = _run_ours(capture_clean, n_ref + 8)
+    dsp.c:231-235) must match numerically (match: dsp.c:41-94).
+    Runs at both the 2 MS/s workhorse geometry and the flagship 8 MS/s
+    BASELINE config-1 geometry."""
+    g = STRICT_GEOMS[geom]
+    capture_clean = capture_clean_factory(geom)
+    so = build_plugin(ref_build, f"strict_{geom}", g["stretch"])
+    n_ref = 12 if geom == "2ms" else 10
+    ours, our_ag = _run_ours(capture_clean, n_ref + 8, sr=g["sr"],
+                             height=g["height"])
     compared = range(1, n_ref)  # ref frame 0 is its warmup transient
     for attempt in range(2):
         ref_frames, ref_ag = _run_reference(ref_build, so, capture_clean,
-                                            n_ref, 0, values=True)
+                                            n_ref, 0, values=True,
+                                            sr=g["sr"], height=g["height"])
         assert len(ref_frames) == n_ref
         d, mean_c = _best_constant_lag(ref_frames, ours, compared)
         ks = [k for k in compared if 0 <= k + d < len(ours)]
