@@ -25,6 +25,15 @@ def on_plot(ev):
         found.append(est)
         mode = est.mode.name if est.mode else "(no VESA match)"
         print(f"detected: {est.refreshrate:.2f} Hz, {est.height} lines -> {mode}")
+        # render the winning autocorrelation window as the GUI plot widget
+        # would (max-decimation + log-dB + peak label)
+        from tempestsdr_tpu.estimate import render_plot, save_plot
+
+        img, info = render_plot(ev.values, offset=ev.offset,
+                                samplerate=ev.samplerate, kind="line",
+                                frame_lag=est.frame_lag)
+        save_plot(img, "autocorr_line.pgm")
+        print(f"plot peak: {info['label']} -> autocorr_line.pgm")
         rx.stop()
 
 

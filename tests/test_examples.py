@@ -74,6 +74,8 @@ def test_example_auto_detect_mode(capture, tmp_path):
     assert "detected:" in out, out
     # capture geometry is 628 lines @ 60 Hz (1056x628 VESA total)
     assert "60" in out and "628" in out.replace("\n", " "), out
+    assert "plot peak:" in out, out
+    assert (tmp_path / "autocorr_line.pgm").exists()
 
 
 def test_example_multi_channel(tmp_path):
