@@ -84,8 +84,10 @@ def main():
                     ("pallas-strided", box_resample_strided_pallas)):
         bench(name, scan_of(f), carry0, xs)
 
-    # Ls sweep for the kernel
-    for Ls in (1024, 2048, 4096):
+    # Ls sweep for the kernel: bigger chunks = fewer grid steps (less
+    # per-step overhead, larger DMAs) at the cost of per-step VMEM; all
+    # variants interpret-validated vs the XLA form on CPU
+    for Ls in (2048, 4096, 8192, 16384, 32768):
         import functools
         f = functools.partial(box_resample_strided_pallas, Ls=Ls)
         bench(f"pallas Ls={Ls}", scan_of(f), carry0, xs)
