@@ -181,6 +181,43 @@ def main():
            (jnp.zeros((ac_round + block,), jnp.float32), jnp.int32(0)), envs,
            bytes_per_sample=4 + 4)
 
+    # the production step's gated form: where(fed, dus(buf), buf) forces a
+    # full-ring select pass; a cond lets XLA alias the ring in place on the
+    # (overwhelmingly common) fed path — A/B the two
+    @jax.jit
+    def s_ac_where(carry, xs):
+        def body(carry, env):
+            buf, fill, fed = carry
+            written = lax.dynamic_update_slice(buf, env, (fill,))
+            buf = jnp.where(fed, written, buf)
+            fill = fill + block
+            fill = jnp.where(fill >= ac_round, fill - ac_round, fill)
+            return (buf, fill, fed), env[0]
+        carry, acc = lax.scan(body, carry, xs)
+        return carry, acc
+    timeit("accum:ac-ring-write-where", s_ac_where,
+           (jnp.zeros((ac_round + block,), jnp.float32), jnp.int32(0),
+            jnp.asarray(True)), envs, bytes_per_sample=4 + 4)
+
+    @jax.jit
+    def s_ac_cond(carry, xs):
+        def body(carry, env):
+            buf, fill, fed = carry
+            buf = lax.cond(
+                fed,
+                lambda b: lax.dynamic_update_slice(b, env, (fill,)),
+                lambda b: b,
+                buf,
+            )
+            fill = fill + block
+            fill = jnp.where(fill >= ac_round, fill - ac_round, fill)
+            return (buf, fill, fed), env[0]
+        carry, acc = lax.scan(body, carry, xs)
+        return carry, acc
+    timeit("accum:ac-ring-write-cond", s_ac_cond,
+           (jnp.zeros((ac_round + block,), jnp.float32), jnp.int32(0),
+            jnp.asarray(True)), envs, bytes_per_sample=4 + 4)
+
     # ---- fold: dynamic_update_slice of pixels into the frame buffer
     fb_len = cfg.frame_pixels + max_pix
     pixs = jnp.asarray(rng.random((K, max_pix), np.float32))
