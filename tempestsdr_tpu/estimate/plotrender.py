@@ -112,18 +112,24 @@ def render_plot(
     img[marker, peak_px] = 160
 
     lag = offset + max_index
+    # lag 0 (offset 0, peak at bin 0): Java's double division yields
+    # Infinity rather than raising — match that
     if kind == "frame":
-        value = samplerate / lag
+        value = samplerate / lag if lag else float("inf")
         label = f"{value:.1f} fps"  # Main.java:1299
     else:
         flag = frame_lag if frame_lag is not None else samplerate / 60.0
-        value = flag / lag
-        err_lo = abs(flag / (lag + 1) - value)
-        err_hi = abs(flag / (lag - 1) - value) if lag > 1 else err_lo
-        err = int(round(max(err_lo, err_hi))) - 1  # Main.java:1338-1343
-        label = (
-            f"{int(round(value))} (±{err}) px" if err > 0 else f"{int(round(value))} px"
-        )
+        value = flag / lag if lag else float("inf")
+        if np.isfinite(value):
+            err_lo = abs(flag / (lag + 1) - value)
+            err_hi = abs(flag / (lag - 1) - value) if lag > 1 else err_lo
+            err = int(round(max(err_lo, err_hi))) - 1  # Main.java:1338-1343
+            label = (
+                f"{int(round(value))} (±{err}) px" if err > 0
+                else f"{int(round(value))} px"
+            )
+        else:
+            label = "inf px"
     info = {
         "max_index": int(max_index),
         "lag": int(lag),
