@@ -270,6 +270,22 @@ def main():
         timeit(label, s_post, carry, frames2d,
                samples=4 * cfg.frame_pixels // 2)
 
+    # ---- emit-time framebuf shift (emit_fn's concat of tail + zeros):
+    # scanned once per iteration == the per-FRAME cost of the shift
+    fb_len2 = cfg.frame_pixels + max_pix
+
+    @jax.jit
+    def s_fbshift(carry, xs):
+        def body(fb, x):
+            fb = jnp.concatenate(
+                [fb[cfg.frame_pixels:],
+                 jnp.zeros((cfg.frame_pixels,), jnp.float32)])
+            return fb, fb[0] + x
+        return lax.scan(body, carry, xs)
+    timeit("emit:framebuf-shift", s_fbshift,
+           jnp.zeros((fb_len2,), jnp.float32),
+           jnp.zeros((8,), jnp.float32), samples=8 * cfg.frame_pixels // 2)
+
     # ---- A/B: the pre-fusion default-order composition (autogain ->
     # collapse(normalized) -> sync -> IIR with the normalized frame
     # materialized) vs the fused path measured by post:frame-* above
