@@ -19,6 +19,15 @@ block_until_ready is optimistic. frames/s counts only steady-state dispatches
 (compile excluded). `--quick` shrinks reps; `--channels N` / `--config N`
 run one config; `--mesh` runs the virtual-mesh scaling curve (CPU subprocess).
 
+Survivability (the round-2 lesson, BENCH_r02 = 0.0): the remote-TPU relay
+sometimes WEDGES — a fresh process's session claim hangs forever with no
+error (CLAUDE.md). So the default entry point is a PARENT orchestrator that
+never imports jax: it spawns a child to run the configs, the child flushes
+each config's result to a partial file the moment it finishes (atomic
+rename), and the parent kills a child that makes no progress (stalled claim)
+and respawns it with the remaining configs. One wedged claim costs one stall
+timeout, not the whole budget; earlier results can never be erased.
+
 Prints ONE final JSON line:
   {"metric", "value", "unit", "vs_baseline", "configs": {per-config results}}
 vs_baseline: config-4 ingest vs the reference's demonstrated 25 MS/s real-time
@@ -28,6 +37,7 @@ on its fastest benchmarked host (acs-dissertation.tex:907).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -35,6 +45,14 @@ import numpy as np
 
 REFERENCE_MSPS = 25.0  # acs-dissertation.tex:907
 REFERENCE_FPS = 40.0  # >40 fps at 25 MS/s, same source
+
+BUDGET_S = float(os.environ.get("TSDR_BENCH_BUDGET_S", 1500.0))
+STALL_S = float(os.environ.get("TSDR_BENCH_STALL_S", 480.0))
+# STALL_S: kill a child this long without a new config result
+# (claim ~100-250 s + first compile ~40 s + run < 60 s, with margin)
+MAX_SPAWNS = 4
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_partial.json")
 
 
 def _arg(flag, default=None, cast=int):
@@ -45,65 +63,183 @@ def _arg(flag, default=None, cast=int):
     return default
 
 
+def _load_partial(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _flush_partial(path, configs):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(configs, f)
+    os.replace(tmp, path)
+
+
+def _emit_final(configs, extra=None):
+    head = configs.get("config4") or {}
+    if "ingest_MSps" not in head:
+        head = next((c for c in configs.values()
+                     if isinstance(c, dict) and "ingest_MSps" in c), {})
+    msps = head.get("ingest_MSps", 0.0)
+    out = {
+        "metric": "iq_ingest_rate_per_chip",
+        "value": round(msps, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / REFERENCE_MSPS, 3),
+        "configs": configs,
+    }
+    if extra:
+        out.update(extra)
+    print(json.dumps(out))
+
+
+def _plan_order(only, channels):
+    if channels:
+        only = 5
+    plan = [4, 1, 2, 3, 5]  # flagship first: the headline must exist
+    return [n for n in plan if only is None or n == only]
+
+
 def main():
     if "--mesh" in sys.argv:
         return bench_mesh()
+    if "--child" in sys.argv or "--cpu-smoke" in sys.argv:
+        # --cpu-smoke runs the child path in-process on the CPU backend:
+        # no TPU claim risk, same code paths — guards the unattended run
+        return child_main()
+    return parent_main()
+
+
+def parent_main():
+    """Orchestrate a child per attempt; never import jax here (a wedged
+    session claim in THIS process would be unkillable from within)."""
+    import subprocess
+
+    t0 = time.monotonic()
+    only = _arg("--config")
+    channels = _arg("--channels")
+    remaining = _plan_order(only, channels)
+    for p in (PARTIAL_PATH, PARTIAL_PATH + ".hang_done"):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+    retried = set()
+    spawns = 0
+    passthrough = [a for a in sys.argv[1:] if a not in ("--child",)]
+    while remaining and spawns < MAX_SPAWNS:
+        if time.monotonic() - t0 > BUDGET_S:
+            print("# parent: budget exhausted", file=sys.stderr)
+            break
+        spawns += 1
+        cmd = [sys.executable, os.path.abspath(__file__), "--child",
+               "--configs", ",".join(map(str, remaining))] + passthrough
+        print(f"# parent: attempt {spawns} configs={remaining}", file=sys.stderr)
+        child = subprocess.Popen(cmd)
+        done_at_start = _done_set(_load_partial(PARTIAL_PATH))
+        last_progress = time.monotonic()
+        while child.poll() is None:
+            time.sleep(5)
+            now = time.monotonic()
+            done = _done_set(_load_partial(PARTIAL_PATH))
+            if done != done_at_start:
+                done_at_start = done
+                last_progress = now
+            stalled = now - last_progress > STALL_S
+            over = now - t0 > BUDGET_S + min(60, BUDGET_S)
+            if stalled or over:
+                why = "stalled (wedged claim?)" if stalled else "over budget"
+                print(f"# parent: killing child — {why}", file=sys.stderr)
+                child.kill()
+                child.wait()
+                break
+        configs = _load_partial(PARTIAL_PATH)
+        remaining = []
+        for n in _plan_order(only, channels):
+            key = f"config{n}"
+            r = configs.get(key)
+            if r is None:
+                remaining.append(n)
+            elif isinstance(r, dict) and "error" in r and key not in retried:
+                retried.add(key)  # one retry per failed config
+                remaining.append(n)
+
+    configs = _load_partial(PARTIAL_PATH)
+    extra = {}
+    missing = [n for n in _plan_order(only, channels)
+               if f"config{n}" not in configs]
+    if missing:
+        extra["partial"] = True
+        extra["missing_configs"] = missing
+    _emit_final(configs, extra)
+    return 0
+
+
+def _done_set(configs):
+    return frozenset(k for k, v in configs.items() if isinstance(v, dict))
+
+
+def child_main():
+    """Run the requested configs serially in ONE process (one session claim),
+    flushing each result to the partial file the moment it exists."""
+    hang = os.environ.get("TSDR_BENCH_HANG_ONCE_S")
+    if hang:
+        # test hook simulating a wedged session claim: the FIRST child hangs
+        # here; the marker file lets the parent's respawned child proceed
+        marker = PARTIAL_PATH + ".hang_done"
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            time.sleep(float(hang))
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    if "--cpu-smoke" in sys.argv:
-        # harness self-check without TPU hardware: same code paths, CPU
-        # backend, quick sizes — numbers are meaningless, exercising every
-        # config guards the driver's unattended end-of-round run
+    if "--cpu-smoke" in sys.argv or os.environ.get("TSDR_BENCH_CPU") == "1":
+        # TSDR_BENCH_CPU exercises the parent/child orchestration without a
+        # TPU session claim (used by tests)
         jax.config.update("jax_platforms", "cpu")
         sys.argv.append("--quick")
 
     quick = "--quick" in sys.argv
     only = _arg("--config")
     channels = _arg("--channels")
-    if channels:
-        only = 5
+    wanted = _arg("--configs", cast=str)
+    if wanted:
+        nums = [int(x) for x in wanted.split(",")]
+    else:
+        nums = _plan_order(only, channels)
 
-    configs = {}
-    t_start = time.monotonic()
-    budget_s = 1500.0  # stop starting new configs beyond this
     runner = BenchRunner(quick)
-    plan = [
-        (4, runner.config4_wideband),  # flagship first: headline must exist
-        (1, runner.config1_replay),
-        (2, runner.config2_estimation),
-        (3, runner.config3_averaging),
-        (5, lambda: runner.config5_channels(channels or 8)),
-    ]
-    for num, fn in plan:
-        if only is not None and num != only:
-            continue
-        if num != 4 and only is None and time.monotonic() - t_start > budget_s:
-            print(f"# config {num} skipped: time budget", file=sys.stderr)
-            continue
+    fns = {
+        1: runner.config1_replay,
+        2: runner.config2_estimation,
+        3: runner.config3_averaging,
+        4: runner.config4_wideband,
+        5: lambda: runner.config5_channels(channels or 8),
+    }
+    standalone = "--child" not in sys.argv
+    if standalone:
         try:
-            configs[f"config{num}"] = fn()
+            os.remove(PARTIAL_PATH)  # don't mix with a previous run's results
+        except OSError:
+            pass
+    for num in nums:
+        try:
+            res = fns[num]()
         except Exception as e:  # noqa: BLE001 — one config must not sink the rest
             print(f"# config {num} FAILED: {e}", file=sys.stderr)
-            configs[f"config{num}"] = {"error": str(e)[:300]}
-
-    head = configs.get("config4") or next(
-        (c for c in configs.values() if "ingest_MSps" in c), {}
-    )
-    msps = head.get("ingest_MSps", 0.0)
-    print(
-        json.dumps(
-            {
-                "metric": "iq_ingest_rate_per_chip",
-                "value": round(msps, 2),
-                "unit": "Msamples/s",
-                "vs_baseline": round(msps / REFERENCE_MSPS, 3),
-                "configs": configs,
-            }
-        )
-    )
+            res = {"error": str(e)[:300]}
+        configs = _load_partial(PARTIAL_PATH)
+        configs[f"config{num}"] = res
+        _flush_partial(PARTIAL_PATH, configs)
+    if standalone:
+        _emit_final(_load_partial(PARTIAL_PATH))
+    return 0
 
 
 class BenchRunner:
