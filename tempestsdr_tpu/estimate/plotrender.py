@@ -30,33 +30,28 @@ def decimate_max(data: np.ndarray, nwidth: int):
     widget's exact semantics: columns are filled with the running local max
     at each column boundary, lowest/highest track only those boundary
     values (seeded from data[0]), and max_index is the global argmax.
+
+    Vectorized (reduceat over column segments) — the widget's scalar loop
+    costs seconds of host time at 64 MS/s window sizes (~430k lags); the
+    literal transliteration lives in tests/test_estimate.py as the oracle.
     """
     data = np.asarray(data, np.float64)
     size = len(data)
-    visdata = np.empty(nwidth, np.float64)
-    highest = lowest = data[0]
-    max_index = 0
-    max_val = data[0]
-    prev_px = 0
-    localmax = data[0]
-    for idx in range(size):
-        val = data[idx]
-        px = int(idx * nwidth / size)  # value_to_pixel_absolute, unzoomed
-        if 0 <= px < nwidth:
-            if prev_px != px:
-                if localmax > highest:
-                    highest = localmax
-                elif localmax < lowest:
-                    lowest = localmax
-                visdata[prev_px:px] = localmax
-                localmax = val
-                prev_px = px
-            elif val > localmax:
-                localmax = val
-        if val > max_val:
-            max_val = val
-            max_index = idx
-    visdata[prev_px:] = localmax
+    # px(idx) = idx*nwidth//size (value_to_pixel_absolute, unzoomed) is
+    # nondecreasing: each distinct px value is one column segment
+    px = (np.arange(size, dtype=np.int64) * nwidth) // size
+    starts = np.flatnonzero(np.r_[True, px[1:] != px[:-1]])
+    m = np.maximum.reduceat(data, starts)  # per-column running local max
+    cols = px[starts]
+    # a flush at column boundary p_k fills [p_{k-1}, p_k) with the previous
+    # column's max; skipped columns inherit it. Final fill covers the tail.
+    visdata = np.repeat(m, np.diff(np.r_[cols, nwidth]))
+    # lowest/highest are seeded from data[0] and updated ONLY with flushed
+    # column maxima — the last column is never flushed (widget quirk)
+    flushed = m[:-1]
+    highest = float(max(data[0], flushed.max())) if flushed.size else float(data[0])
+    lowest = float(min(data[0], flushed.min())) if flushed.size else float(data[0])
+    max_index = int(np.argmax(data))  # first occurrence, like `val > max`
     return visdata, lowest, highest, max_index
 
 
@@ -89,7 +84,10 @@ def render_plot(
     {max_index, lag, value, label, lowest_db, highest_db}.
     """
     visdata, lowest, highest, max_index = decimate_max(data, nwidth)
-    floor = max(np.min(visdata[visdata > 0], initial=1e-12), 1e-12)
+    # log floor = smallest positive decimated value (the widget's
+    # data-derived bound); 1e-12 only when no positive value exists
+    pos = visdata[visdata > 0]
+    floor = float(pos.min()) if pos.size else 1e-12
     with np.errstate(divide="ignore"):
         vals_db = DB_MULTIPLIER * np.log10(np.maximum(visdata, floor))
     lo_db = DB_MULTIPLIER * np.log10(max(lowest, floor))

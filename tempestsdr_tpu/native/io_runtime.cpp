@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -33,7 +34,14 @@ struct Ring {
   size_t head = 0;  // next write
   size_t tail = 0;  // next read
   size_t size = 0;  // bytes stored
-  uint64_t dropped = 0;
+  uint64_t written = 0;     // total bytes ever pushed successfully
+  uint64_t read_total = 0;  // total bytes ever popped
+  // Drop events positioned in the stream: a chunk dropped at write time sits
+  // AFTER everything still buffered, so its count must not be released to
+  // the consumer until the consumer has read all bytes that preceded it
+  // (matches the UHD convention of reporting samples_dropped with the
+  // delivery that follows the gap, TSDRPlugin_UHD.cpp:264-294).
+  std::deque<std::pair<uint64_t, uint64_t>> drops;  // (stream pos, bytes)
   bool closed = false;
   std::mutex mu;
   std::condition_variable cv_data;
@@ -54,7 +62,7 @@ struct Ring {
       if (closed) return false;
     }
     if (n > cap() - size) {
-      dropped += n;
+      drops.emplace_back(written, n);
       return false;
     }
     size_t first = std::min(n, cap() - head);
@@ -62,6 +70,7 @@ struct Ring {
     if (n > first) std::memcpy(buf.data(), src + first, n - first);
     head = (head + n) % cap();
     size += n;
+    written += n;
     lk.unlock();
     cv_data.notify_one();
     return true;
@@ -82,15 +91,21 @@ struct Ring {
     if (take > first) std::memcpy(dst + first, buf.data(), take - first);
     tail = (tail + take) % cap();
     size -= take;
+    read_total += take;
     lk.unlock();
     cv_space.notify_one();
     return take;
   }
 
+  // Release only MATURED drop counts: gaps whose preceding bytes have all
+  // been consumed (drop pos <= read_total).
   uint64_t take_dropped() {
     std::lock_guard<std::mutex> lk(mu);
-    uint64_t d = dropped;
-    dropped = 0;
+    uint64_t d = 0;
+    while (!drops.empty() && drops.front().first <= read_total) {
+      d += drops.front().second;
+      drops.pop_front();
+    }
     return d;
   }
 

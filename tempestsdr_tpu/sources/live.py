@@ -14,8 +14,13 @@ semantics end-to-end against the native IO runtime:
   - the producer's sample position advances regardless, so dropped chunks
     are genuinely missing from the stream (the gap is real, not simulated);
   - `stream()` pops fixed blocks and converts the ring's dropped-byte count
-    into the `samples_dropped` field of the next block, which the pipeline's
-    whole-frame drop compensation consumes (dsp.c:313-368).
+    into the `samples_dropped` field of the block that FOLLOWS the gap: the
+    native ring positions each drop in the stream (a chunk dropped at write
+    time sits after everything still buffered) and releases its count only
+    once the reader has consumed the bytes that preceded it, matching the
+    UHD convention of reporting drops with the delivery after the gap
+    (TSDRPlugin_UHD.cpp:264-294); the pipeline's whole-frame drop
+    compensation consumes it (dsp.c:313-368).
 
 Params string: "lines twidth refresh samplerate noise [pace=N] [ring=N]"
   pace: production rate as a multiple of real time (default 0 = unthrottled,
@@ -143,12 +148,17 @@ class SimulatedLiveSource(Source):
         )
         self._producer.start()
         try:
+            # take_dropped() releases a drop only after the bytes preceding
+            # the gap were consumed, so drops matured during block k's read
+            # belong between block k and k+1 — attach them to block k+1
+            # (samples_dropped = gap before this block's samples)
+            pending_bytes = 0
             while self._running:
                 buf = bytearray(block_bytes)
                 got = ring.read_into(memoryview(buf), blocking=True)
                 if got < block_bytes:
                     break  # closed
-                dropped_bytes = ring.take_dropped()
+                dropped_bytes, pending_bytes = pending_bytes, ring.take_dropped()
                 arr = np.frombuffer(bytes(buf), dtype=np.float32)
                 yield SourceBlock(arr, int(dropped_bytes // 8))
         finally:

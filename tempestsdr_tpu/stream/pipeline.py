@@ -206,7 +206,15 @@ def _post_process_default_order(config: PipelineConfig, params: Params, frame2d,
     only downstream of the collapse in this order), so the collapse runs on
     the RAW frame and the normalized frame never needs materializing —
     the normalize, shift/markers and motion-blur IIR fuse into one
-    elementwise pass. Outputs are bit-identical to the general path.
+    elementwise pass.
+
+    Exactness: the elementwise frame math is bit-identical to the general
+    path; the sync-detector argmax sees the raw-frame profile instead of the
+    normalized one, which is identical only up to f64 rounding in the
+    affine-invariance argument above — a near-exact tie between strip
+    windows could in principle resolve to a different dx. Every order-matrix
+    and oracle-parity test passes bit-exact in practice
+    (tests/test_postprocess_orders.py).
     """
     f = frame2d
     _, mn, mx, snr = autogain_run(f, ag[0], ag[1], NORMALISATION_LOWPASS_COEFF,

@@ -82,39 +82,48 @@ def test_plot_render_decimation_matches_widget_loop():
     import numpy as np
     from tempestsdr_tpu.estimate.plotrender import decimate_max
 
+    def oracle(data, nwidth):
+        # literal transliteration of the Java loop
+        size = len(data)
+        visdata = np.empty(nwidth)
+        highest = lowest = data[0]
+        max_index, max_val = 0, data[0]
+        prev_px, localmax = 0, data[0]
+        for idx in range(size):
+            val = data[idx]
+            px = int(idx * nwidth / size)
+            if 0 <= px < nwidth:
+                if prev_px != px:
+                    if localmax > highest:
+                        highest = localmax
+                    elif localmax < lowest:
+                        lowest = localmax
+                    for i in range(prev_px, px):
+                        visdata[i] = localmax
+                    localmax = val
+                    prev_px = px
+                elif val > localmax:
+                    localmax = val
+            if val > max_val:
+                max_val, max_index = val, idx
+        visdata[prev_px:] = localmax
+        return visdata, lowest, highest, max_index
+
     rng = np.random.default_rng(3)
-    data = rng.random(1000)
-    data[700] = 5.0  # global peak
-    nwidth = 64
-
-    # literal transliteration of the Java loop as the oracle
-    size = len(data)
-    visdata = np.empty(nwidth)
-    highest = lowest = data[0]
-    max_index, max_val = 0, data[0]
-    prev_px, localmax = 0, data[0]
-    for idx in range(size):
-        val = data[idx]
-        px = int(idx * nwidth / size)
-        if 0 <= px < nwidth:
-            if prev_px != px:
-                if localmax > highest:
-                    highest = localmax
-                elif localmax < lowest:
-                    lowest = localmax
-                for i in range(prev_px, px):
-                    visdata[i] = localmax
-                localmax = val
-                prev_px = px
-            elif val > localmax:
-                localmax = val
-        if val > max_val:
-            max_val, max_index = val, idx
-    visdata[prev_px:] = localmax
-
-    vd, lo, hi, mi = decimate_max(data, nwidth)
-    np.testing.assert_array_equal(vd, visdata)
-    assert (lo, hi, mi) == (lowest, highest, max_index)
+    peaked = rng.random(1000)
+    peaked[700] = 5.0  # global peak
+    cases = [
+        (peaked, 64),
+        (rng.random(40), 64),   # size < nwidth: skipped columns
+        (rng.random(64), 64),   # 1:1
+        (np.full(300, 2.5), 32),  # constant data
+        (rng.random(997), 64),  # size not a multiple of nwidth
+    ]
+    for data, nwidth in cases:
+        vd, lo, hi, mi = decimate_max(data, nwidth)
+        ovd, olo, ohi, omi = oracle(data, nwidth)
+        np.testing.assert_array_equal(vd, ovd)
+        assert (lo, hi, mi) == (olo, ohi, omi), (nwidth, len(data))
 
 
 def test_plot_render_image_and_labels():

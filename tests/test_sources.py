@@ -150,10 +150,19 @@ def test_native_ring_drop_accounting():
     assert ring.write(b"a" * 512)
     assert ring.write(b"b" * 512)
     assert not ring.write(b"c" * 128)  # overflow -> dropped whole
-    assert ring.take_dropped() == 128
+    # the gap sits AFTER the 1024 buffered bytes: its count must not be
+    # released until the reader has consumed everything that preceded it
+    assert ring.take_dropped() == 0
     buf = bytearray(600)
     got = ring.read_into(memoryview(buf))
     assert got == 600 and bytes(buf[:512]) == b"a" * 512
+    assert ring.take_dropped() == 0  # 424 pre-gap bytes still buffered
+    buf2 = bytearray(424)
+    assert ring.read_into(memoryview(buf2)) == 424
+    assert ring.take_dropped() == 128  # matured: all pre-gap bytes consumed
+    # post-gap data written later is unaffected
+    assert ring.write(b"d" * 64)
+    assert ring.take_dropped() == 0
     ring.close()
 
 

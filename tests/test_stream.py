@@ -348,10 +348,22 @@ def test_session_autocorr_dump(tmp_path):
     assert t0 == 0.0 and np.isfinite(db0)  # reference dump starts at lag 0
     t1, _ = map(float, lines[2].split(","))
     assert t1 == pytest.approx(1000.0 / SR)
-    # the dumped |R(j)| must agree with an oracle autocorrelation of the
-    # round's envelope within float tolerance at the peak lag
-    vals = np.array([float(l.split(",")[0]) for l in lines[1:]])
-    assert np.all(np.diff(vals) > 0)
+    ts = np.array([float(l.split(",")[0]) for l in lines[1:]])
+    assert np.all(np.diff(ts) > 0)
+    # the dumped dB column must be exactly 10*log10(|R|) of the round's raw
+    # half-range autocorrelation (dump_autocorrect's format)...
+    dbs = np.array([float(l.split(",")[1]) for l in lines[1:]])
+    r = np.abs(np.asarray(sess.state.ac_last_full))
+    np.testing.assert_allclose(
+        dbs, 10.0 * np.log10(np.maximum(r, 1e-300)), rtol=0, atol=5e-7
+    )
+    # ...and must carry the real signal: on this known capture the line
+    # period SR/(REFRESH*LINES) = 200 must be the autocorrelation peak in
+    # its neighbourhood (the 50 Hz frame lag 20000 exceeds the pow2
+    # half-range 16384 at this geometry, so check line rate instead)
+    line_lag = int(round(SR / (REFRESH * LINES)))
+    peak_lag = 100 + int(np.argmax(dbs[100:300]))
+    assert abs(peak_lag - line_lag) <= 1, peak_lag
     # TPU-native extra: the two analysis windows
     pw = str(tmp_path / "ac_windows.csv")
     assert sess.dump_autocorr(pw, windows=True)
