@@ -57,9 +57,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto-resolution", action="store_true",
                    help="detect (rate, height) from autocorrelation, then report")
     p.add_argument("--auto-apply", action="store_true",
-                   help="with --auto-resolution: apply the detected mode and "
-                        "restart streaming at it (GUI AUT behaviour, "
+                   help="with --auto-resolution or --select-lag/"
+                        "--select-line-lag: apply the detected/selected mode "
+                        "and restart streaming at it (GUI AUT behaviour, "
                         "Main.java:1259-1262)")
+    p.add_argument("--select-lag", default=None, metavar="AROUND,AREA",
+                   help="manual frame-plot selection: snap to the best peak "
+                        "within AREA lags around lag AROUND (samples) on the "
+                        "first estimation round and derive the refresh rate "
+                        "(the plot click + area spinner, "
+                        "PlotVisualizer.getBestIdAround :144-163, "
+                        "Main.java:563-572,1315-1321)")
+    p.add_argument("--select-line-lag", default=None, metavar="AROUND,AREA",
+                   help="manual line-plot selection: derive the height as "
+                        "frame_lag/line_lag (Main.java:1357-1361; frame_lag "
+                        "from --select-lag if given, else samplerate/rate)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -78,12 +90,63 @@ def main(argv=None) -> int:
     def on_value(ev):
         log(f"value {ev.value_id.name}: {ev.arg0:.6g} {ev.arg1:.6g}")
 
-    detected = {"est": None}
+    detected = {"est": None, "manual": None}
+
+    def parse_sel(spec):
+        try:
+            around, area = (int(x) for x in spec.split(","))
+            if around <= 0 or area < 0:
+                raise ValueError
+            return around, area
+        except ValueError:
+            raise SystemExit(f"bad selection spec {spec!r}: want AROUND,AREA "
+                             "(positive lag, non-negative area)")
+
+    sel_frame = parse_sel(args.select_lag) if args.select_lag else None
+    sel_line = parse_sel(args.select_line_lag) if args.select_line_lag else None
+    plots = {}
+
+    def manual_select():
+        """Mirror the GUI click sequence on the first estimation round:
+        frame-plot selection -> fps (Main.java:1315-1321), line-plot
+        selection -> height with frame_lag = the frame selection when
+        present, else samplerate/rate (:1352-1361)."""
+        from .estimate.peaks import select_fps, select_height
+
+        sr = rx._source.samplerate()
+        rate, height = args.rate, args.height
+        frame_lag = sr / rate
+        if sel_frame:
+            fev = plots[PLOT_ID.FRAME]
+            got = select_fps(np.asarray(fev.values), fev.offset, sr,
+                             sel_frame[0], sel_frame[1])
+            if got is None:
+                log(f"MANUAL-SELECT: frame lag {sel_frame[0]} outside the "
+                    "plotted window; keeping current rate")
+            else:
+                frame_lag, rate = got[0], got[1]
+        if sel_line:
+            lev = plots[PLOT_ID.LINE]
+            got = select_height(np.asarray(lev.values), lev.offset, frame_lag,
+                                sel_line[0], sel_line[1])
+            if got is None:
+                log(f"MANUAL-SELECT: line lag {sel_line[0]} outside the "
+                    "plotted window; keeping current height")
+            else:
+                height = got[1]
+        detected["manual"] = (height, rate)
+        log(f"MANUAL-SELECT: {rate:.2f} Hz, {height} lines")
+        if args.auto_apply:
+            rx.stop()
 
     plot_rounds = {"n": 0}
 
     def on_plot(ev):
         nonlocal tracker
+        if (sel_frame or sel_line) and detected["manual"] is None:
+            plots[ev.plot_id] = ev
+            if PLOT_ID.FRAME in plots and PLOT_ID.LINE in plots:
+                manual_select()
         if args.plot_out:
             from .estimate.plotrender import render_plot, save_plot
 
@@ -141,11 +204,16 @@ def main(argv=None) -> int:
 
     try:
         rx.start(on_frame=on_frame, max_frames=args.frames, max_blocks=args.blocks)
-        if args.auto_apply and detected["est"] is not None:
+        apply_mode = None
+        if detected["manual"] is not None:
+            apply_mode = detected["manual"]  # manual click wins over AUT
+        elif detected["est"] is not None:
             est = detected["est"]
-            height, rate = est.height, est.refreshrate
+            apply_mode = (est.height, est.refreshrate)
             if est.mode is not None:
-                height, rate = est.mode.height, est.mode.refreshrate
+                apply_mode = (est.mode.height, est.mode.refreshrate)
+        if args.auto_apply and apply_mode is not None:
+            height, rate = apply_mode
             log(f"applying detected mode: {height} lines @ {rate:g} Hz")
             rx.set_resolution(height, rate)
             rx.start(on_frame=on_frame, max_frames=args.frames, max_blocks=args.blocks)

@@ -10,6 +10,14 @@ outputs.
 
 from .vesa import VideoMode, VIDEO_MODES, find_closest_mode  # noqa: F401
 from .autores import AutoResolution, Estimate, estimate_from_plots  # noqa: F401
-from .peaks import best_peak_around, fps_from_lag, lag_from_fps, height_from_lags  # noqa: F401
+from .peaks import (  # noqa: F401
+    best_peak_around,
+    fps_from_lag,
+    get_best_id_around,
+    height_from_lags,
+    lag_from_fps,
+    select_fps,
+    select_height,
+)
 from .plotrender import decimate_max, render_plot, save_plot  # noqa: F401
 from .meters import render_autogain_meter, render_snr_meter  # noqa: F401

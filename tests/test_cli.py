@@ -57,6 +57,31 @@ def test_cli_auto_apply_restarts_at_detected_mode(capsys):
     assert "applying detected mode" in out
 
 
+def test_cli_manual_lag_selection_applies(capsys):
+    """--select-lag/--select-line-lag: the headless plot click
+    (getBestIdAround snap + fps/height transformers) feeds the geometry
+    derivation and --auto-apply restarts at it (Main.java:563-572,
+    1315-1321, 1352-1361)."""
+    sr = 2_000_000
+    frame_lag = sr // 60  # 33333
+    rc = cli.main([
+        "--source", "synthetic",
+        "--source-params", "600 111 60 2000000 0.01",
+        "--height", "400", "--rate", "55",
+        "--block-samples", "16384",
+        "--blocks", "60",
+        "--no-pll",
+        # around-lag deliberately off-peak: the snap must find 33333
+        "--select-lag", f"{frame_lag - 40},100",
+        "--select-line-lag", "56,8",
+        "--auto-apply",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "MANUAL-SELECT: 60.00 Hz" in out
+    assert "applying detected mode" in out
+
+
 def test_snapshot_formats(tmp_path):
     frame = np.linspace(0, 1, 40 * 30, dtype=np.float32).reshape(40, 30)
     frame[3, 3] = PIXEL_SPECIAL_VALUE_G

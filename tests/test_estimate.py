@@ -38,6 +38,64 @@ def test_peak_utilities():
     assert best_peak_around(v, 42, 10) == 40  # snaps inside window
     assert best_peak_around(v, 42, 100) == 70  # wide window finds global
     assert best_peak_around(v, 0, 4) in (0, 1)
+
+
+def test_get_best_id_around_matches_widget():
+    """Exact getBestIdAround semantics (PlotVisualizer.java:144-163)
+    against a literal transliteration, including the -1 out-of-range
+    contract and first-max tie resolution."""
+    import numpy as np
+    from tempestsdr_tpu.estimate.peaks import get_best_id_around
+
+    def oracle(data, px, area_px):
+        size = len(data)
+        start_id = px - area_px // 2
+        if start_id >= size:
+            return -1
+        if start_id < 0:
+            start_id = 0
+        end_id = px + area_px // 2
+        if end_id < 0:
+            return -1
+        if end_id > size:
+            end_id = size
+        bestid = start_id
+        mx = data[bestid]
+        for i in range(start_id + 1, end_id):
+            if data[i] > mx:
+                mx = data[i]
+                bestid = i
+        return bestid
+
+    rng = np.random.default_rng(7)
+    data = rng.random(200)
+    data[60] = data[61] = 9.0  # tie -> lowest index
+    for idx in (-250, -5, 0, 3, 60, 61, 100, 198, 199, 205, 400):
+        for area in (0, 1, 2, 7, 30, 1000):
+            assert get_best_id_around(data, idx, area) == oracle(data, idx, area), (idx, area)
+
+
+def test_select_fps_and_height_transformers():
+    """The click transformers (Main.java:1315-1321, 1352-1361)."""
+    import numpy as np
+    from tempestsdr_tpu.estimate.peaks import select_fps, select_height
+
+    sr = 2_000_000
+    offset = sr // 87
+    vals = np.full(sr // 55 - offset, 0.1)
+    vals[sr // 60 - offset] = 1.0
+    lag, fps = select_fps(vals, offset, sr, around_lag=sr // 60 - 40, area=100)
+    assert lag == sr // 60
+    assert abs(fps - sr / lag) < 1e-9
+    assert select_fps(vals, offset, sr, around_lag=10 * sr, area=4) is None
+
+    l_off = 40
+    lvals = np.full(300, 0.1)
+    lvals[56 - l_off] = 1.0
+    llag, height = select_height(lvals, l_off, frame_lag=lag,
+                                 around_lag=58, area=8)
+    assert llag == 56
+    assert height == round(lag / 56)
     sr = 8e6
     assert lag_from_fps(fps_from_lag(133333, sr), sr) == 133333
     assert height_from_lags(133333, 212) == 629
