@@ -29,10 +29,24 @@ def interpret_pallas(monkeypatch):
 @pytest.mark.parametrize("dtype", ["uint8", "int8"])
 def test_fused_demod_resample_matches_unfused(dtype, layout):
     """fused_demod_resample (interpret mode on CPU) == am_demod(normalize_iq)
-    + box_resample_strided, for both raw byte encodings."""
+    + box_resample_strided, for both raw byte encodings. layout="u16" is the
+    measured-slower probe kept in bench/fused_u16_probe.py."""
     from tempestsdr_tpu.ops.demod import am_demod, normalize_iq
     from tempestsdr_tpu.ops.resample import box_resample_strided
-    from tempestsdr_tpu.pallas.fused_kernel import fused_demod_resample
+
+    if layout == "u32":
+        from tempestsdr_tpu.pallas.fused_kernel import fused_demod_resample
+    else:
+        # bench/ the directory is shadowed by bench.py the module: load by path
+        import importlib.util
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..", "bench",
+                            "fused_u16_probe.py")
+        spec = importlib.util.spec_from_file_location("fused_u16_probe", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        fused_demod_resample = mod.fused_demod_resample_u16
 
     rng = np.random.default_rng(7)
     n = 1 << 14
@@ -55,7 +69,6 @@ def test_fused_demod_resample_matches_unfused(dtype, layout):
     env, px, n_out, ph = fused_demod_resample(
         raw, tail, phase, inv_fix,
         n_samples=n, max_pix=max_pix, taps=taps, inv_nominal=inv0,
-        layout=layout,
     )
     assert int(n_out) == int(n_ref) and int(ph) == int(ph_ref)
     np.testing.assert_array_equal(np.asarray(env), np.asarray(env_ref))
