@@ -512,11 +512,17 @@ class BenchRunner:
         return r
 
     def config5_channels(self, n_channels: int, block: int = 245760):
-        """n independent 16 MS/s emitters on one chip. Uses the UNROLLED
-        channels step (real per-channel conds, per-channel Mosaic resampler):
-        measured 281 vs 164 MS/s aggregate against the vmapped any()-gated
-        step at 8ch — and the vmapped program class faults the remote TPU
-        runtime since 2026-08-17 pm (STATUS.md round-2 notes)."""
+        """n independent 16 MS/s emitters on one chip.
+
+        Default step: the round-3 HYBRID channels step (unrolled per-channel
+        pre with per-channel Mosaic resampler, shared ac-ring write, batched
+        any()-gated cond bodies — make_channels_step_hybrid). Its batched
+        cond bodies use vmap, which the remote runtime's round-2 regression
+        makes fragile at execution time; a worker crash kills this process
+        before an error can be recorded, so the attempt is FLAGGED in the
+        partial file first — a respawned child sees the dangling hybrid
+        marker and falls back to the fully-unrolled step (the round-2 TPU
+        workhorse, 281 MS/s)."""
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -526,6 +532,37 @@ class BenchRunner:
         from tempestsdr_tpu.parallel.channels import stack_states
         from tempestsdr_tpu.stream.pipeline import (
             StepControls,
+            make_channels_step_hybrid,
+            make_channels_step_unrolled,
+        )
+
+        kind = "hybrid"
+        prior = _load_partial(PARTIAL_PATH).get("config5")
+        if isinstance(prior, dict) and "error" in prior and \
+                prior.get("step_kind") == "hybrid":
+            kind = "unrolled"
+        partial = _load_partial(PARTIAL_PATH)
+        partial["config5"] = {"error": f"in-progress ({kind} attempt)",
+                              "step_kind": kind}
+        _flush_partial(PARTIAL_PATH, partial)
+
+        try:
+            return self._run_config5(n_channels, block, kind)
+        except Exception as e:  # keep step_kind so a retry falls back
+            print(f"# config5 ({kind}) FAILED: {e}", file=sys.stderr)
+            return {"error": str(e)[:300], "step_kind": kind}
+
+    def _run_config5(self, n_channels: int, block: int, kind: str):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from tempestsdr_tpu.config import PipelineConfig
+        from tempestsdr_tpu.params import Params
+        from tempestsdr_tpu.parallel.channels import stack_states
+        from tempestsdr_tpu.stream.pipeline import (
+            StepControls,
+            make_channels_step_hybrid,
             make_channels_step_unrolled,
         )
 
@@ -537,7 +574,9 @@ class BenchRunner:
         K, M = (4, 2) if self.quick else (16, 4)
         cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
                             block_samples=block)
-        step = make_channels_step_unrolled(cfg, Params(), n_channels)
+        maker = (make_channels_step_hybrid if kind == "hybrid"
+                 else make_channels_step_unrolled)
+        step = maker(cfg, Params(), n_channels)
         ctrl = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (n_channels,) + x.shape),
             StepControls.default(),
@@ -570,6 +609,7 @@ class BenchRunner:
         msps = K * block * n_channels / min(dts) / 1e6
         r = {
             "n_channels": n_channels,
+            "step_kind": kind,
             "block_samples": block,
             "aggregate_MSps": round(msps, 1),
             "aggregate_avg_MSps": round(M * K * block * n_channels / dt / 1e6, 1),

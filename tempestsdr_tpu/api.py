@@ -158,7 +158,8 @@ class TSDR:
 
     # ---- streaming ----
 
-    def _make_config(self) -> PipelineConfig:
+    def _make_config(self, height: int | None = None,
+                     refreshrate: float | None = None) -> PipelineConfig:
         if self._source is None:
             raise TSDRError(TSDRStatus.ERR_PLUGIN, "no source loaded")
         rate = self._source.samplerate()
@@ -170,10 +171,37 @@ class TSDR:
             rate *= SUPER_HOPS_TO_MAKE
         return PipelineConfig(
             samplerate=rate,
-            height=self._height,
-            refreshrate=self._refreshrate,
+            height=self._height if height is None else int(height),
+            refreshrate=(self._refreshrate if refreshrate is None
+                         else float(refreshrate)),
             block_samples=self._block_samples,
         )
+
+    def warm_resolution(self, height: int, refreshrate: float,
+                        background: bool = False):
+        """Pre-compile the step for (height, refreshrate) so a later
+        set_resolution + start switches modes with only the stream gap, not
+        a full compile — the headless counterpart of the reference's live
+        tsdr_setresolution (TSDRLibrary.c:552-566). Safe to call while
+        streaming (in-process dispatches interleave). background=True runs
+        the compile on a daemon thread and returns it (join to wait)."""
+        from .stream.session import warm_compile_step
+
+        cfg = self._make_config(height=height, refreshrate=refreshrate)
+        dtype = self._source.block_dtype()
+        if background:
+            import threading
+
+            t = threading.Thread(
+                target=warm_compile_step, args=(cfg, self._params),
+                kwargs=dict(batch_blocks=self._batch_blocks, raw_dtype=dtype),
+                daemon=True,
+            )
+            t.start()
+            return t
+        warm_compile_step(cfg, self._params,
+                          batch_blocks=self._batch_blocks, raw_dtype=dtype)
+        return None
 
     def _rebuild_session(self) -> None:
         self._session = Session(self._make_config(), self._params, self._source,

@@ -137,7 +137,25 @@ def main(argv=None) -> int:
         detected["manual"] = (height, rate)
         log(f"MANUAL-SELECT: {rate:.2f} Hz, {height} lines")
         if args.auto_apply:
-            rx.stop()
+            stop_after_warm(height, rate)
+
+    def stop_after_warm(height, rate):
+        """Warm-compile the next geometry while the current session still
+        streams, THEN stop — the mode switch costs only the stream gap
+        instead of a full compile (live tsdr_setresolution semantics,
+        TSDRLibrary.c:552-566)."""
+        import threading
+
+        def _go():
+            try:
+                rx.warm_resolution(height, rate)
+                log(f"warm compile ready: {height} lines @ {rate:g} Hz")
+            except Exception as e:  # noqa: BLE001 — apply anyway, pay compile
+                log(f"warm compile failed ({e}); applying cold")
+            finally:
+                rx.stop()
+
+        threading.Thread(target=_go, daemon=True).start()
 
     plot_rounds = {"n": 0}
 
@@ -169,7 +187,10 @@ def main(argv=None) -> int:
             mode = f" -> {est.mode.name}" if est.mode else ""
             log(f"AUTO-RESOLUTION: {est.refreshrate:.2f} Hz, {est.height} lines{mode}")
             if args.auto_apply:
-                rx.stop()
+                height, rate = est.height, est.refreshrate
+                if est.mode is not None:
+                    height, rate = est.mode.height, est.mode.refreshrate
+                stop_after_warm(height, rate)
 
     rx = TSDR(on_value=on_value, on_plot=on_plot, block_samples=args.block_samples,
               batch_blocks=args.batch_blocks)

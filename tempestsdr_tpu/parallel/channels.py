@@ -1,21 +1,32 @@
 """Channel data parallelism — config 5 (pod-scale multi-target).
 
 Each monitored emitter is an independent IQ channel with its own carried
-state; the per-channel step is vmapped and the channel axis sharded over the
-mesh. No collectives are needed in steady state — exactly the reference's
-"multiple independent receivers" design point, scaled across chips instead
-of threads.
+state; the channel axis is sharded over the mesh with shard_map, and the
+per-device body is the HYBRID channels step over that device's local
+channels (unrolled per-channel `pre`, shared ac-ring write, batched cond
+bodies — stream/pipeline.py make_channels_step_hybrid). No collectives run
+in steady state — exactly the reference's "multiple independent receivers"
+design point, scaled across chips instead of threads.
+
+Why shard_map and not jit+NamedSharding over the vmapped step (the round-2
+design): (a) the vmapped program class faults the current remote TPU
+runtime at execution time (STATUS.md round 2), so a real pod would dispatch
+exactly the crashing class; (b) shard_map guarantees each device runs the
+TPU-proven per-channel body locally — the any()-gates are over LOCAL
+channels only, with no cross-device scalar all-reduces at all.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import PipelineConfig
 from ..params import Params
-from ..stream.pipeline import make_channels_step
+from ..stream.pipeline import make_channels_step_hybrid
 from ..stream.state import StreamState, init_state
 
 
@@ -27,25 +38,33 @@ def stack_states(config: PipelineConfig, n_channels: int, fir_ntaps: int = 0) ->
     )
 
 
-def make_channel_step(config: PipelineConfig, params: Params, mesh: Mesh, n_channels: int = None):
+def make_channel_step(config: PipelineConfig, params: Params, mesh: Mesh,
+                      n_channels: int = None, *, cond_mode: str = "batched"):
     """Uniform-cadence channel step, sharded over the 'ch' axis.
 
-    With jax.jit + NamedSharding the XLA SPMD partitioner keeps each
-    channel's whole pipeline on its own device; carried state never moves.
-    The any()-gates in make_channels_step become cheap scalar all-reduces.
-    """
-    step = make_channels_step(config, params)
-    sharding = NamedSharding(mesh, P("ch"))
+    n_channels defaults to one per device; it must divide evenly so every
+    device runs the same per-device body (n_channels // n_devices local
+    channels)."""
+    n_dev = mesh.shape["ch"]
+    if n_channels is None:
+        n_channels = n_dev
+    if n_channels % n_dev:
+        raise ValueError(
+            f"n_channels={n_channels} must be a multiple of the mesh's "
+            f"{n_dev} 'ch' devices"
+        )
+    per_dev = n_channels // n_dev
+    body = make_channels_step_hybrid(config, params, per_dev,
+                                     cond_mode=cond_mode)
 
-    def sharded(tree):
-        return jax.tree.map(lambda _: sharding, tree)
-
-    def run(states, raws, controls):
-        return step(states, raws, controls)
-
-    return jax.jit(
-        run,
-        in_shardings=(sharding, sharding, sharding),
-        out_shardings=(sharding, sharding),
-        donate_argnums=0,
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("ch"), P("ch"), P("ch")),
+        out_specs=(P("ch"), P("ch")),
+        check_vma=False,
     )
+    def run(states, raws, controls):
+        return body(states, raws, controls)
+
+    return jax.jit(run, donate_argnums=0)

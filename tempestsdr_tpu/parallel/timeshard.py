@@ -303,11 +303,25 @@ def make_grid_step(config: PipelineConfig, params: Params, mesh: Mesh):
 
     Arguments carry a leading channel axis: state leaves [C, ...] sharded
     P('ch') (replicated over time), raw [C, 2*block] sharded P('ch','time'),
-    controls [C] sharded P('ch'). The per-device body vmaps over its local
-    channels; 'time' collectives vectorize across the vmapped axis.
+    controls [C] sharded P('ch'). The per-device body is UNROLLED over its
+    local channels (their count is static inside shard_map) rather than
+    vmapped: the vmapped program class faults the current remote TPU
+    runtime (STATUS.md round 2), and unrolling keeps each channel's 'time'
+    collectives the plain single-channel forms.
     """
     T = mesh.shape["time"]
-    body = jax.vmap(_make_body(config, params, T))
+    body1 = _make_body(config, params, T)
+
+    def body(states, raws, controls):
+        news, outs = [], []
+        for c in range(raws.shape[0]):  # local channels on this device
+            st_c = jax.tree.map(lambda x: x[c], states)
+            ct_c = jax.tree.map(lambda x: x[c], controls)
+            st2, out = body1(st_c, raws[c], ct_c)
+            news.append(st2)
+            outs.append(out)
+        stack = lambda *xs: jnp.stack(xs)
+        return jax.tree.map(stack, *news), jax.tree.map(stack, *outs)
     sharded = jax.shard_map(
         body,
         mesh=mesh,

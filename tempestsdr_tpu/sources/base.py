@@ -55,6 +55,14 @@ class Source(abc.ABC):
     def stream(self, block_samples: int) -> Iterator[SourceBlock]:
         """Yield blocks of exactly 2*block_samples interleaved raw values."""
 
+    def block_dtype(self):
+        """dtype of the blocks stream() will yield (used to warm-compile
+        steps for a geometry before streaming it). Default float32; raw-file
+        sources override with the file's sample format."""
+        import numpy as np
+
+        return np.float32
+
     @abc.abstractmethod
     def stop(self) -> None: ...
 

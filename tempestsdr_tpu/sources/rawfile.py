@@ -118,6 +118,9 @@ class RawFileSource(Source):
     def samplerate(self) -> float:
         return self._rate
 
+    def block_dtype(self):
+        return self._dtype if self._dtype is not None else np.float32
+
     def stream(self, block_samples: int) -> Iterator[SourceBlock]:
         if self._dtype is None:
             raise TSDRError(TSDRStatus.PLUGIN_PARAMETERS_WRONG, "not initialized")

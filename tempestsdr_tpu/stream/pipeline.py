@@ -268,7 +268,8 @@ def _post_process(config: PipelineConfig, params: Params, frame2d, screen, ag, s
     return result, screen, ag, sync_x, sync_y, pll
 
 
-def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = False):
+def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = False,
+                     ac_write_external: bool = False):
     """The per-block step split into pure composable pieces:
 
       pre(state, raw, controls) -> Intermediates   (all per-sample work, no
@@ -383,8 +384,16 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
             purge = dropped != 0
             fed = (~drop_all) & (~purge)
             fill0 = jnp.where(purge, 0, state.ac_fill)
-            written = lax.dynamic_update_slice(state.ac_buf, env, (fill0,))
-            ac_buf = jnp.where(fed, written, state.ac_buf)
+            if ac_write_external:
+                # multi-channel caller writes all channels' envelopes into
+                # the stacked ring in ONE joint update (2.1x the per-channel
+                # vmapped writes when the fills are synchronized —
+                # bench/PROFILE.json channels:8:ac-write-shared); only the
+                # bookkeeping happens here
+                ac_buf = state.ac_buf
+            else:
+                written = lax.dynamic_update_slice(state.ac_buf, env, (fill0,))
+                ac_buf = jnp.where(fed, written, state.ac_buf)
             ac_fill = jnp.where(fed, fill0 + n, fill0)
             round_done = ac_fill >= ac_round
             ac_fill = jnp.where(round_done, ac_fill - ac_round, ac_fill)
@@ -445,6 +454,8 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
             round_done=round_done,
             motionblur=controls.motionblur,
         )
+        if ac_write_external and run_autocorr:
+            inter.update(env=env, ac_fed=fed, ac_fill0=fill0)
         return inter
 
     def ac_round_fn(ops):
@@ -660,6 +671,115 @@ def make_channels_step_unrolled(config: PipelineConfig, params: Params,
             outs.append(out)
         stack = lambda *xs: jnp.stack(xs)
         return (jax.tree.map(stack, *news), jax.tree.map(stack, *outs))
+
+    return cstep
+
+
+def make_channels_step_hybrid(config: PipelineConfig, params: Params,
+                              n_channels: int, *, cond_mode: str = "batched"):
+    """Round-3 multi-channel step: the best of the unrolled and vmapped forms.
+
+      - per-sample work (`pre`) is UNROLLED per channel with batched=False —
+        no vmap(pre) in the program (the class that faults the current
+        remote TPU runtime, STATUS.md round 2), and each channel keeps the
+        Mosaic strided resampler + the gated sync-skip;
+      - the autocorr-ring write is a SINGLE joint 2-D update when the
+        channels' fills are synchronized (the steady state): measured 2.1x
+        the per-channel vmapped writes (PROFILE.json
+        channels:8:ac-write-shared); per-channel writes only after a drop
+        desyncs a channel;
+      - the per-frame/per-round cond bodies run BATCHED across channels
+        behind any()-gates with per-channel select-commits
+        (cond_mode="batched"): the bodies are kernel-count-bound
+        (ROOFLINE.md), so one 8-wide body costs roughly one 1-wide body —
+        the 8 sequential bodies of the unrolled form were the dominant
+        config-5 cost. cond_mode="unrolled" keeps real per-channel conds
+        (the round-2 behaviour) for A/B and as the fallback if the batched
+        emit body trips the runtime's vmap fragility.
+
+    Same stacked-state signature and bit-identical outputs as
+    make_channels_step / make_channels_step_unrolled (equivalence-tested).
+    """
+    if cond_mode not in ("batched", "unrolled"):
+        raise ValueError(f"unknown cond_mode {cond_mode!r}")
+    pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble = (
+        _make_step_parts(config, params, batched=False, ac_write_external=True)
+    )
+    run_autocorr = config.autocorr and not params.autocorr_plots_off
+
+    def cstep(states: StreamState, raws, controls: StepControls):
+        inters = []
+        for c in range(n_channels):
+            st_c = jax.tree.map(lambda x: x[c], states)
+            ct_c = jax.tree.map(lambda x: x[c], controls)
+            inters.append(pre(st_c, raws[c], ct_c))
+        inter = jax.tree.map(lambda *xs: jnp.stack(xs), *inters)
+
+        if run_autocorr:
+            envs = inter.pop("env")          # (C, n)
+            fed = inter.pop("ac_fed")        # (C,) bool
+            fill0 = inter.pop("ac_fill0")    # (C,)
+            bufs = states.ac_buf             # (C, ac_len)
+
+            def write_shared(b):
+                # all channels fed at the same fill: one 2-D update
+                return lax.dynamic_update_slice(
+                    b, envs, (jnp.zeros((), fill0.dtype), fill0[0])
+                )
+
+            def write_per_channel(b):
+                w = jax.vmap(
+                    lambda b1, e1, f1: lax.dynamic_update_slice(b1, e1, (f1,))
+                )(b, envs, fill0)
+                return jnp.where(fed[:, None], w, b)
+
+            synced = jnp.all(fed) & jnp.all(fill0 == fill0[0])
+            bufs = lax.cond(synced, write_shared, write_per_channel, bufs)
+            inter["ac_buf"] = bufs
+
+        ac_ops = ac_ops_of(states, inter)
+        em = inter["emit"]
+        e_ops = emit_ops_of(states, inter)
+        zero_frames = jnp.zeros(
+            (n_channels, config.height, config.width), jnp.float32
+        )
+
+        if cond_mode == "batched":
+            if run_autocorr:
+                rd = inter["round_done"]
+                ac_ops = lax.cond(
+                    jnp.any(rd),
+                    lambda o: _select_tree(rd, jax.vmap(ac_round_fn)(o), o),
+                    lambda o: o,
+                    ac_ops,
+                )
+
+            def do_emit_all(o):
+                new_ops, new_frames = jax.vmap(emit_fn)(o)
+                return (_select_tree(em, new_ops, o),
+                        _select_tree(em, new_frames, zero_frames))
+
+            emit_ops, frames = lax.cond(
+                jnp.any(em), do_emit_all, lambda o: (o, zero_frames), e_ops
+            )
+        else:  # real per-channel conds on per-channel slices
+            acs, emits, frames_l = [], [], []
+            for c in range(n_channels):
+                ac_c = jax.tree.map(lambda x: x[c], ac_ops)
+                if run_autocorr:
+                    ac_c = lax.cond(inter["round_done"][c], ac_round_fn,
+                                    lambda o: o, ac_c)
+                acs.append(ac_c)
+                e_c = jax.tree.map(lambda x: x[c], e_ops)
+                e_c, f_c = lax.cond(em[c], emit_fn, no_emit_fn, e_c)
+                emits.append(e_c)
+                frames_l.append(f_c)
+            stack = lambda *xs: jnp.stack(xs)
+            ac_ops = jax.tree.map(stack, *acs)
+            emit_ops = jax.tree.map(stack, *emits)
+            frames = jnp.stack(frames_l)
+
+        return jax.vmap(assemble)(states, inter, ac_ops, emit_ops, frames)
 
     return cstep
 

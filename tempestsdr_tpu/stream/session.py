@@ -29,6 +29,76 @@ from .state import StreamState, init_state, reset_autocorr, state_compatible
 
 AUTOGAIN_REPORT_EVERY_FRAMES = 5  # dsp.c:20
 
+# ---- warm compile (live-resolution-change support) -------------------------
+# The reference re-derives geometry mid-stream (tsdr_setresolution ->
+# set_internal_samplerate, TSDRLibrary.c:552-566). Here geometry is a
+# recompile boundary (static shapes), so the equivalent live behaviour is:
+# warm-compile the next geometry's step WHILE the current session still
+# streams, then the stop -> start switch costs only the stream gap.
+# Warmed (step, scan) jit functions are cached by (config, params,
+# batch_blocks); Session._build_steps reuses them, hitting the jit
+# function's own executable cache — zero compile at swap time.
+
+_WARM_LOCK = threading.Lock()
+_WARM_STEPS: dict = {}
+
+
+def _build_step_fns(config: PipelineConfig, params: Params, batch_blocks: int):
+    step = jax.jit(make_step(config, params), donate_argnums=0)
+    scan = None
+    if batch_blocks > 1:
+        from jax import lax
+
+        inner = make_step(config, params)
+
+        # dropped/syncoffset are one-shot events: they ride as per-block
+        # arrays (value in slot 0 only) so a scan doesn't re-apply them
+        def scan_steps(state, raws, dropped_arr, sync_arr, motionblur):
+            def body(st, xs):
+                raw, dr, sy = xs
+                return inner(st, raw, StepControls(dr, sy, motionblur))
+
+            return lax.scan(body, state, (raws, dropped_arr, sync_arr))
+
+        scan = jax.jit(scan_steps, donate_argnums=0)
+    return step, scan
+
+
+def warm_compile_step(config: PipelineConfig, params: Params, *,
+                      batch_blocks: int = 1, raw_dtype=np.float32):
+    """Build AND compile the jitted step a future Session(config, params,
+    batch_blocks) will use, so that session's first block pays no compile.
+    Blocking (returns once the executable is ready); call from a background
+    thread to overlap with a live session — in-process dispatches interleave
+    safely. raw_dtype must match the source's block dtype
+    (Source.block_dtype()) or the warm executable won't be the one used."""
+    key = (config, params, int(batch_blocks))
+    with _WARM_LOCK:
+        fns = _WARM_STEPS.get(key)
+        if fns is None:
+            fns = _build_step_fns(config, params, batch_blocks)
+            _WARM_STEPS[key] = fns
+    step, scan = fns
+    # force compilation with one dummy dispatch of the exact runtime
+    # signature (the donated dummy state is consumed)
+    state = init_state(config, params.fir_lowpass_taps)
+    if batch_blocks > 1:
+        k = int(batch_blocks)
+        st, _ = scan(
+            state,
+            jnp.zeros((k, 2 * config.block_samples), raw_dtype),
+            jnp.zeros((k,), jnp.int64),
+            jnp.zeros((k,), jnp.int32),
+            jnp.float32(0.0),
+        )
+    else:
+        st, _ = step(
+            state,
+            jnp.zeros((2 * config.block_samples,), raw_dtype),
+            StepControls(jnp.int64(0), jnp.int32(0), jnp.float32(0.0)),
+        )
+    jax.block_until_ready(st)
+
 
 def _normalize_host(raw: np.ndarray) -> np.ndarray:
     """Host-side mirror of ops.demod.normalize_iq (TSDRPlugin_RawFile.c
@@ -93,22 +163,14 @@ class Session:
         self.meter = IngestMeter()
 
     def _build_steps(self, params: Params) -> None:
-        self._step = jax.jit(make_step(self.config, params), donate_argnums=0)
+        key = (self.config, params, self.batch_blocks)
+        with _WARM_LOCK:
+            fns = _WARM_STEPS.get(key)  # warm_compile_step ran for this key
+        if fns is None:
+            fns = _build_step_fns(self.config, params, self.batch_blocks)
+        self._step, scan = fns
         if self.batch_blocks > 1:
-            from jax import lax
-
-            inner = make_step(self.config, params)
-
-            # dropped/syncoffset are one-shot events: they ride as per-block
-            # arrays (value in slot 0 only) so a scan doesn't re-apply them
-            def scan_steps(state, raws, dropped_arr, sync_arr, motionblur):
-                def body(st, xs):
-                    raw, dr, sy = xs
-                    return inner(st, raw, StepControls(dr, sy, motionblur))
-
-                return lax.scan(body, state, (raws, dropped_arr, sync_arr))
-
-            self._scan = jax.jit(scan_steps, donate_argnums=0)
+            self._scan = scan
 
     def set_params(self, new_params: Params) -> None:
         """Live param-flag change (the reference toggles params_int while

@@ -287,6 +287,59 @@ def test_channels_step_unrolled_desynced_cadence():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("cond_mode", ["batched", "unrolled"])
+@pytest.mark.parametrize("with_drop", [False, True])
+def test_channels_step_hybrid_matches_gated(cond_mode, with_drop):
+    """make_channels_step_hybrid (unrolled pre + shared ac-ring write +
+    batched-or-unrolled cond bodies) must match the any()-gated vmapped
+    channels step channel-for-channel — including after a drop desyncs one
+    channel's autocorr fill and frame cadence (which forces the hybrid's
+    per-channel ac-write fallback)."""
+    import jax.numpy as jnp
+    from tempestsdr_tpu.stream.pipeline import (
+        make_channels_step,
+        make_channels_step_hybrid,
+    )
+
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=True)
+    params = Params(framerate_pll=True)
+    C = 3
+    n_blocks = 20
+    per_ch = [gen_blocks(n_blocks, cfg.block_samples, seed=50 + c) for c in range(C)]
+
+    stepG = jax.jit(make_channels_step(cfg, params, C))
+    stepH = jax.jit(make_channels_step_hybrid(cfg, params, C,
+                                              cond_mode=cond_mode))
+    sG = stack_states(cfg, C)
+    sH = stack_states(cfg, C)
+    base = StepControls.default()
+    rounds = 0
+    for b in range(n_blocks):
+        dropped = jnp.asarray(
+            [0, 37777 if (with_drop and b == 5) else 0, 0], jnp.int64)
+        ctrl = StepControls(dropped,
+                            jnp.broadcast_to(base.syncoffset, (C,)),
+                            jnp.broadcast_to(base.motionblur, (C,)))
+        raws = jnp.stack([jnp.asarray(per_ch[c][b]) for c in range(C)])
+        sG, oG = stepG(sG, raws, ctrl)
+        sH, oH = stepH(sH, raws, ctrl)
+        np.testing.assert_array_equal(np.asarray(oG.frame_valid),
+                                      np.asarray(oH.frame_valid))
+        np.testing.assert_array_equal(np.asarray(oG.ac_plot_valid),
+                                      np.asarray(oH.ac_plot_valid))
+        rounds += int(np.asarray(oG.ac_plot_valid).sum())
+        for c in range(C):
+            if bool(oG.frame_valid[c]):
+                np.testing.assert_allclose(np.asarray(oH.frame[c]),
+                                           np.asarray(oG.frame[c]),
+                                           rtol=1e-5, atol=1e-6)
+    assert rounds > 0  # the autocorr rounds actually exercised the ring
+    for a, b2 in zip(jax.tree.leaves(sG), jax.tree.leaves(sH)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(n_channel=4, n_time=4)  # 16 > 8 devices

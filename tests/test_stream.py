@@ -373,6 +373,58 @@ def test_session_autocorr_dump(tmp_path):
     assert tw > 0  # window dump starts at the window offset, not lag 0
 
 
+def test_warm_compile_step_is_reused_by_session():
+    """warm_compile_step pre-builds the exact jit function a later Session
+    uses: the session must reuse the warmed object (executable cache hit —
+    the live-setresolution overlap, TSDRLibrary.c:552-566) and its first
+    block must not add a compile entry."""
+    from tempestsdr_tpu.stream.session import (
+        _WARM_STEPS,
+        warm_compile_step,
+    )
+
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params(framerate_pll=False)
+    warm_compile_step(cfg, params, raw_dtype=np.float32)
+    key = (cfg, params, 1)
+    warmed_step = _WARM_STEPS[key][0]
+    assert warmed_step._cache_size() >= 1  # executable exists before Session
+
+    src = SyntheticSource()
+    src.init(f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")
+    sess = Session(cfg, params, src, SessionCallbacks())
+    assert sess._step is warmed_step
+    size_before = warmed_step._cache_size()
+    n = sess.run(max_frames=2)
+    assert n == 2
+    assert warmed_step._cache_size() == size_before  # no new compile
+
+
+def test_api_warm_resolution_background():
+    """TSDR.warm_resolution(background=True) compiles the next geometry on a
+    thread; the restarted session reuses it."""
+    from tempestsdr_tpu.api import TSDR
+    from tempestsdr_tpu.stream.session import _WARM_STEPS
+
+    rx = TSDR(block_samples=8192)
+    rx.load_source("synthetic", f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")
+    rx.set_resolution(LINES, REFRESH)
+    from tempestsdr_tpu.params import PARAM
+
+    rx.set_param(PARAM.FRAMERATE_PLL, 0)
+    t = rx.warm_resolution(LINES + 14, REFRESH, background=True)
+    t.join(timeout=120)
+    assert not t.is_alive()
+    frames = []
+    rx.set_resolution(LINES + 14, REFRESH)
+    rx.start(on_frame=frames.append, max_frames=2)
+    key = (rx._session.config, rx._session.params, 1)
+    assert key in _WARM_STEPS and rx._session._step is _WARM_STEPS[key][0]
+    assert len(frames) == 2 and frames[0].shape[0] == LINES + 14
+    rx.close()
+
+
 def test_session_runs_and_checkpoints(tmp_path):
     src = SyntheticSource()
     src.init(f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")
