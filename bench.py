@@ -712,6 +712,40 @@ def bench_mesh():
         ch_curve[C] = round((time.monotonic() - t0) / K * 1e3, 2)
         print(f"# mesh ch={C}: {ch_curve[C]} ms/block", file=sys.stderr)
 
+    # Contention control (round-2 verdict weak #6): the DP curve CANNOT beat
+    # total_work / host_cores on a virtual mesh — unlike time-sharding, DP
+    # multiplies total work by C (every channel runs the full pipeline), so
+    # C=8 on an 8-virtual-device mesh over N<8 real cores is compute-bound,
+    # not sharding-bound. Measure the same 8 channels on ONE device: any
+    # sharded-row excess above single_device/cores is true sharding overhead.
+    import os as _os
+
+    from tempestsdr_tpu.stream.pipeline import make_channels_step_hybrid
+
+    C = 8
+    hstep = jax.jit(make_channels_step_hybrid(cfg, params, C))
+    ctrl = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (C,) + x.shape),
+        StepControls.default())
+    craws = jnp.asarray(rng.integers(
+        0, 256, size=(K, C, 2 * block), dtype=np.uint8))
+    states = stack_states(cfg, C)
+
+    def hrun(states, craws):
+        for i in range(craws.shape[0]):
+            states, out = hstep(states, craws[i], ctrl)
+        return states, out.frame_valid
+
+    states, _ = hrun(states, craws)  # warmup/compile
+    t0 = time.monotonic()
+    states, fv = hrun(states, craws)
+    _ = np.asarray(fv)
+    one_dev8 = round((time.monotonic() - t0) / K * 1e3, 2)
+    cores = _os.cpu_count() or 1
+    core_floor = round(one_dev8 / min(cores, C), 2)
+    print(f"# mesh ch=8 on 1 device: {one_dev8} ms/block "
+          f"(core floor at {cores} cores: {core_floor})", file=sys.stderr)
+
     overhead8 = round(curve[8] / curve[1], 2)
     print(json.dumps({
         "metric": "virtual_mesh_block_time_vs_shards",
@@ -721,6 +755,9 @@ def bench_mesh():
         "curve_ms_per_block": curve,
         "channel_dp_ms_per_block": ch_curve,
         "channel_dp_efficiency_at_8": round(ch_curve[1] / ch_curve[8], 2),
+        "channel_dp_8ch_single_device_ms": one_dev8,
+        "host_cores": cores,
+        "channel_dp_vs_core_floor": round(ch_curve[8] / max(core_floor, 1e-9), 2),
     }))
     return 0
 

@@ -286,6 +286,18 @@ def main():
            jnp.zeros((fb_len2,), jnp.float32),
            jnp.zeros((8,), jnp.float32), samples=8 * cfg.frame_pixels // 2)
 
+    # round-3 replacement shipped in emit_fn: copy only the <= max_pix spill
+    # to the front, leave the (never-read) tail stale
+    @jax.jit
+    def s_fbspill(carry, xs):
+        def body(fb, x):
+            fb = lax.dynamic_update_slice(fb, fb[cfg.frame_pixels:], (0,))
+            return fb, fb[0] + x
+        return lax.scan(body, carry, xs)
+    timeit("emit:framebuf-spill", s_fbspill,
+           jnp.zeros((fb_len2,), jnp.float32),
+           jnp.zeros((8,), jnp.float32), samples=8 * cfg.frame_pixels // 2)
+
     # ---- A/B: the pre-fusion default-order composition (autogain ->
     # collapse(normalized) -> sync -> IIR with the normalized frame
     # materialized) vs the fused path measured by post:frame-* above

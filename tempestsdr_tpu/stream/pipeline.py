@@ -476,8 +476,14 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
         result, screen, ag, sx, sy, pll = _post_process(
             config, params, frame2d, screen, ag, sx, sy, pll, motionblur
         )
-        framebuf = jnp.concatenate(
-            [framebuf[frame_pixels:], jnp.zeros((frame_pixels,), jnp.float32)]
+        # move only the next frame's SPILL (<= max_pix pixels written past
+        # frame_pixels) to the front. The previous full-buffer shift
+        # (concat(framebuf[fp:], zeros(fp))) copied frame_pixels + max_pix
+        # and zero-filled per emit; the region past the spill is never read
+        # before pre() rewrites it (every position < fill is freshly written
+        # each frame), so stale values there are unobservable.
+        framebuf = lax.dynamic_update_slice(
+            framebuf, framebuf[frame_pixels:], (0,)
         )
         return (framebuf, fill2 - frame_pixels, screen, ag, sx, sy, pll, motionblur), result
 
