@@ -19,5 +19,11 @@ from .peaks import (  # noqa: F401
     select_fps,
     select_height,
 )
-from .plotrender import decimate_max, render_plot, save_plot  # noqa: F401
+from .plotrender import (  # noqa: F401
+    decimate_max,
+    decimate_max_zoomed,
+    render_plot,
+    save_plot,
+)
+from .scales import ZoomableXScale  # noqa: F401
 from .meters import render_autogain_meter, render_snr_meter  # noqa: F401

@@ -55,6 +55,70 @@ def decimate_max(data: np.ndarray, nwidth: int):
     return visdata, lowest, highest, max_index
 
 
+def decimate_max_zoomed(data: np.ndarray, nwidth: int, scale):
+    """populateData under a ZoomableXScale (PlotVisualizer.java:200-247):
+    the zoomed/panned variant of decimate_max, preserving the widget's exact
+    quirks — lowest/highest and the running max are seeded from data[0]
+    (not the first visible value); localmax seeds from data[first_id]; the
+    left margin before the first visible column is filled with that seed;
+    max_index scans the [first_id, last_id) range whether or not each id is
+    on-screen; the last visible column never updates lowest/highest.
+
+    `scale` is an estimate.scales.ZoomableXScale whose value domain is the
+    data index (the widget calls setMinMaxValue(0, size)).
+    """
+    data = np.asarray(data, np.float64)
+    size = len(data)
+    first_id = int(min(max(scale.pixels_to_value_absolute(0), 0), size))
+    last_id = int(min(max(scale.pixels_to_value_absolute(nwidth) + 1, 0), size))
+
+    highest = lowest = float(data[0])
+    seed = float(data[min(first_id, size - 1)])
+    visdata = np.full(nwidth, seed)
+
+    # max_index: running `val > max` over [first_id, last_id), seeded data[0]
+    sub = data[first_id:last_id]
+    if sub.size and sub.max() > data[0]:
+        max_index = first_id + int(np.argmax(sub))
+    else:
+        max_index = 0
+
+    if sub.size == 0:
+        return visdata, lowest, highest, max_index
+
+    ids = np.arange(first_id, last_id, dtype=np.int64)
+    # value_to_pixel_absolute with Java's trunc-toward-zero int cast
+    a = scale._val_in_pixels
+    px = np.trunc((ids - scale.min_value) * a).astype(np.int64) - scale.offset_px
+    m = (px >= 0) & (px < nwidth)
+    if not m.any():
+        return visdata, lowest, highest, max_index
+    v0, v1 = int(np.argmax(m)), int(len(m) - np.argmax(m[::-1]))  # valid span
+    vpx = px[v0:v1]
+    dvals = sub[v0:v1]
+
+    starts = np.flatnonzero(np.r_[True, vpx[1:] != vpx[:-1]])
+    gmax = np.maximum.reduceat(dvals, starts)
+    cols = vpx[starts]
+    p0 = int(cols[0])
+    flushed = []
+    if p0 > 0:
+        # first flush writes the pre-visible localmax (the seed) to the left
+        # margin and tracks it in lowest/highest
+        visdata[:p0] = seed
+        flushed.append(seed)
+    else:
+        # no flush at column 0: the seed merges into its running max
+        gmax[0] = max(gmax[0], seed)
+    counts = np.diff(np.r_[cols, nwidth])
+    visdata[p0:] = np.repeat(gmax, counts)
+    flushed.extend(gmax[:-1])  # the last column is never flushed
+    if flushed:
+        highest = max(highest, max(flushed))
+        lowest = min(lowest, min(flushed))
+    return visdata, lowest, highest, max_index
+
+
 def db_to_px(vals_db: np.ndarray, lo_db: float, hi_db: float, nheight: int):
     """LogScale.valtopx (LogScale.java:131-134)."""
     span = max(hi_db - lo_db, 1e-12)
@@ -70,6 +134,7 @@ def render_plot(
     nheight: int = 240,
     kind: str = "frame",
     frame_lag: int | None = None,
+    scale=None,
 ) -> tuple[np.ndarray, dict]:
     """Render one autocorrelation window as a u8 grayscale image.
 
@@ -79,11 +144,18 @@ def render_plot(
     "line" -> height = frame_lag/line_lag (Main.java:1346-1349; frame_lag
     defaults to samplerate/60 like the widget's default length).
 
+    scale: optional estimate.scales.ZoomableXScale over the index domain
+    [0, len(data)] for a zoomed/panned view (the widget's wheel/drag state).
+
     Returns (img u8[nheight, nwidth] with 0=black background, 255=curve,
     160=peak marker column, 64=baseline) and an info dict
     {max_index, lag, value, label, lowest_db, highest_db}.
     """
-    visdata, lowest, highest, max_index = decimate_max(data, nwidth)
+    if scale is not None:
+        visdata, lowest, highest, max_index = decimate_max_zoomed(
+            data, nwidth, scale)
+    else:
+        visdata, lowest, highest, max_index = decimate_max(data, nwidth)
     # log floor = smallest positive decimated value (the widget's
     # data-derived bound); 1e-12 only when no positive value exists
     pos = visdata[visdata > 0]
@@ -105,9 +177,13 @@ def render_plot(
         img[lo : hi + 1, x] = 255
         prev_y = y
 
-    peak_px = min(int(max_index * nwidth / len(data)), nwidth - 1)
-    marker = img[:, peak_px] == 0
-    img[marker, peak_px] = 160
+    if scale is not None:
+        peak_px = scale.value_to_pixel_absolute(max_index)
+    else:
+        peak_px = int(max_index * nwidth / len(data))
+    if 0 <= peak_px < nwidth:  # zoomed views may scroll the peak off-screen
+        marker = img[:, peak_px] == 0
+        img[marker, peak_px] = 160
 
     lag = offset + max_index
     # lag 0 (offset 0, peak at bin 0): Java's double division yields

@@ -40,6 +40,138 @@ def test_peak_utilities():
     assert best_peak_around(v, 0, 4) in (0, 1)
 
 
+def test_zoomable_scale_and_zoomed_decimation_match_widget():
+    """ZoomableXScale ops (ZoomableXScale.java) + the zoomed populateData
+    (PlotVisualizer.java:200-247) against literal transliterations, across
+    zoom/pan interaction sequences."""
+    import math
+
+    import numpy as np
+
+    from tempestsdr_tpu.estimate.plotrender import decimate_max_zoomed
+    from tempestsdr_tpu.estimate.scales import ZoomableXScale
+
+    class Oracle:  # ZoomableXScale.java, literal
+        def __init__(self, mn, mx, mzv, max_pixels):
+            self.max_pixels = max_pixels
+            self.min_value, self.max_value = mn, mx
+            self.max_zoom_val = mzv
+            self.offset_val, self.offset_px = 0.0, 0
+            self.scale = 1.0
+            self.calc()
+
+        def calc(self):
+            self.ovp = self.max_pixels / ((self.max_value - self.min_value) * self.scale)
+            self.opv = ((self.max_value - self.min_value) * self.scale) / self.max_pixels
+            if self.p2vr(self.max_pixels) < self.max_zoom_val:
+                self.scale = self.max_zoom_val / (self.max_value - self.min_value)
+                self.ovp = self.max_pixels / ((self.max_value - self.min_value) * self.scale)
+                self.opv = ((self.max_value - self.min_value) * self.scale) / self.max_pixels
+
+        def p2va(self, px):
+            return px * self.opv + self.offset_val + self.min_value
+
+        def p2vr(self, px):
+            return px * self.opv
+
+        def v2pa(self, v):
+            return int(math.trunc((v - self.min_value) * self.ovp)) - self.offset_px
+
+        def v2pr(self, v):
+            return int(math.trunc(v * self.ovp))
+
+        def set_px(self, px):
+            self.offset_px = px
+            self.offset_val = self.p2vr(px)
+
+        def set_val(self, v):
+            self.offset_val = v
+            self.offset_px = self.v2pr(v)
+
+        def autofix(self):
+            if self.offset_px < 0:
+                self.set_px(0)
+            if self.p2va(self.max_pixels) > self.max_value:
+                self.set_val(self.max_value - self.p2vr(self.max_pixels) - self.min_value)
+            if self.offset_px < 0:
+                self.scale, self.offset_val, self.offset_px = 1.0, 0.0, 0
+                self.calc()
+
+        def move_px(self, off):
+            self.set_px(self.offset_px - off)
+            self.autofix()
+
+        def zoom_around(self, px, coeff):
+            val = self.p2va(px)
+            self.scale *= coeff
+            self.calc()
+            self.set_val(self.offset_val - self.p2va(px) + val)
+            self.autofix()
+
+    def populate_oracle(data, nwidth, sc):  # PlotVisualizer.java:200-247
+        size = len(data)
+        highest = lowest = data[0]
+        max_index, max_val = 0, data[0]
+        prev_px = 0
+        first_id = int(min(max(sc.p2va(0), 0), size))
+        last_id = int(min(max(sc.p2va(nwidth) + 1, 0), size))
+        visdata = np.empty(nwidth)
+        localmax = data[min(first_id, size - 1)]
+        for idx in range(first_id, last_id):
+            val = data[idx]
+            px = sc.v2pa(idx)
+            if 0 <= px < nwidth:
+                if prev_px != px:
+                    if localmax > highest:
+                        highest = localmax
+                    elif localmax < lowest:
+                        lowest = localmax
+                    for i in range(prev_px, px):
+                        visdata[i] = localmax
+                    localmax = val
+                    prev_px = px
+                elif val > localmax:
+                    localmax = val
+            if val > max_val:
+                max_val, max_index = val, idx
+        visdata[prev_px:] = localmax
+        return visdata, lowest, highest, max_index
+
+    rng = np.random.default_rng(11)
+    size, nwidth = 5000, 320
+    data = rng.random(size)
+    data[3777] = 7.0
+
+    sc = ZoomableXScale(0, size, 1.0, max_pixels=nwidth)
+    orc = Oracle(0, size, 1.0, nwidth)
+    # interaction script: wheel zooms around cursor positions, drags, reset
+    script = [("z", 160, 0.95), ("z", 160, 0.95), ("z", 40, 0.95 ** 4),
+              ("m", 25), ("m", -300), ("z", 300, 1 / 0.95), ("m", 1000),
+              ("z", 10, 0.5), ("z", 10, 0.5), ("z", 10, 0.5), ("m", -5)]
+    for step in script:
+        if step[0] == "z":
+            sc.zoom_around(step[1], step[2])
+            orc.zoom_around(step[1], step[2])
+        else:
+            sc.move_offset_with_pixels(step[1])
+            orc.move_px(step[1])
+        assert (sc.offset_px, sc.scale) == (orc.offset_px, orc.scale)
+        assert sc.offset_val == orc.offset_val
+        for px in (0, 1, nwidth // 2, nwidth):
+            assert sc.pixels_to_value_absolute(px) == orc.p2va(px)
+        vd, lo, hi, mi = decimate_max_zoomed(data, nwidth, sc)
+        ovd, olo, ohi, omi = populate_oracle(data, nwidth, orc)
+        np.testing.assert_array_equal(vd, ovd)
+        assert (lo, hi, mi) == (olo, ohi, omi), step
+    sc.reset()
+    orc.scale, orc.offset_val, orc.offset_px = 1.0, 0.0, 0
+    orc.calc()
+    vd, lo, hi, mi = decimate_max_zoomed(data, nwidth, sc)
+    ovd, olo, ohi, omi = populate_oracle(data, nwidth, orc)
+    np.testing.assert_array_equal(vd, ovd)
+    assert (lo, hi, mi) == (olo, ohi, omi)
+
+
 def test_get_best_id_around_matches_widget():
     """Exact getBestIdAround semantics (PlotVisualizer.java:144-163)
     against a literal transliteration, including the -1 out-of-range
