@@ -143,8 +143,12 @@ def main(argv=None) -> int:
         """Warm-compile the next geometry while the current session still
         streams, THEN stop — the mode switch costs only the stream gap
         instead of a full compile (live tsdr_setresolution semantics,
-        TSDRLibrary.c:552-566)."""
+        TSDRLibrary.c:552-566). Stops only the session that was streaming at
+        detection time (the first session may also end on its own limits
+        while the compile runs — never kill the restarted one)."""
         import threading
+
+        sess = rx.session
 
         def _go():
             try:
@@ -153,9 +157,12 @@ def main(argv=None) -> int:
             except Exception as e:  # noqa: BLE001 — apply anyway, pay compile
                 log(f"warm compile failed ({e}); applying cold")
             finally:
-                rx.stop()
+                if sess is not None:
+                    sess.stop()
 
-        threading.Thread(target=_go, daemon=True).start()
+        t = threading.Thread(target=_go, daemon=True)
+        detected["warm_thread"] = t
+        t.start()
 
     plot_rounds = {"n": 0}
 
@@ -235,6 +242,9 @@ def main(argv=None) -> int:
                 apply_mode = (est.mode.height, est.mode.refreshrate)
         if args.auto_apply and apply_mode is not None:
             height, rate = apply_mode
+            t = detected.get("warm_thread")
+            if t is not None:
+                t.join(timeout=600)  # the restart below reuses its compile
             log(f"applying detected mode: {height} lines @ {rate:g} Hz")
             rx.set_resolution(height, rate)
             rx.start(on_frame=on_frame, max_frames=args.frames, max_blocks=args.blocks)

@@ -54,7 +54,11 @@ def test_cli_auto_apply_restarts_at_detected_mode(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "AUTO-RESOLUTION" in out
-    assert "applying detected mode" in out
+    # the detected geometry's step compiles while the first session still
+    # streams (live-setresolution semantics) ...
+    assert "warm compile ready" in out
+    # ... and only then is the mode applied
+    assert out.index("warm compile ready") < out.index("applying detected mode")
 
 
 def test_cli_manual_lag_selection_applies(capsys):
