@@ -240,6 +240,22 @@ def main():
            (jnp.zeros((fb_len,), jnp.float32), jnp.int32(0)), pixs,
            samples=K * block, bytes_per_sample=4 * max_pix / block * 3)
 
+    # round-3 shipped form: plain write, no read-modify-write (pixels past
+    # n_valid are zero and unobserved — see pipeline.py fold comment)
+    @jax.jit
+    def s_fold2(carry, xs):
+        def body(carry, pix):
+            fb, fill = carry
+            fb = lax.dynamic_update_slice(fb, pix, (fill,))
+            fill = fill + max_pix - 7
+            fill = jnp.where(fill >= cfg.frame_pixels, fill - cfg.frame_pixels, fill)
+            return (fb, fill), pix[0]
+        carry, acc = lax.scan(body, carry, xs)
+        return carry, acc
+    timeit("fold:frame-write-only", s_fold2,
+           (jnp.zeros((fb_len,), jnp.float32), jnp.int32(0)), pixs,
+           samples=K * block, bytes_per_sample=4 * max_pix / block * 2)
+
     # ---- isolated per-frame post-process (the emit-cond body): one call
     # per frame, amortized over frame_pixels/pixels-per-block blocks
     from tempestsdr_tpu.stream.pipeline import _post_process

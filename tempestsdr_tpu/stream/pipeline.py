@@ -431,12 +431,13 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
         n_valid = n_out - k
         pend = pend - k
 
-        # ---- frame fold
-        window = lax.dynamic_slice(state.framebuf, (state.fill,), (max_pix,))
-        mask = jnp.arange(max_pix, dtype=jnp.int32) < n_valid
-        framebuf = lax.dynamic_update_slice(
-            state.framebuf, jnp.where(mask, pixels, window), (state.fill,)
-        )
+        # ---- frame fold: plain write, no read-modify-write. pixels past
+        # n_valid are zero (every resampler masks past n_out, and the sync
+        # skip shifts zeros in), and any position past fill2 is overwritten
+        # by a later block's valid range before emit reads it — preserving
+        # the old window there (the previous masked write) was one extra
+        # max_pix HBM pass per block for values nothing observes.
+        framebuf = lax.dynamic_update_slice(state.framebuf, pixels, (state.fill,))
         fill2 = state.fill + n_valid
         emit = fill2 >= frame_pixels
 
