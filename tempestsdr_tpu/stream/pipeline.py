@@ -734,11 +734,21 @@ def make_channels_step_hybrid(config: PipelineConfig, params: Params,
                     b, envs, (jnp.zeros((), fill0.dtype), fill0[0])
                 )
 
-            def write_per_channel(b):
-                w = jax.vmap(
-                    lambda b1, e1, f1: lax.dynamic_update_slice(b1, e1, (f1,))
-                )(b, envs, fill0)
-                return jnp.where(fed[:, None], w, b)
+            if cond_mode == "batched":
+                def write_per_channel(b):
+                    w = jax.vmap(
+                        lambda b1, e1, f1: lax.dynamic_update_slice(b1, e1, (f1,))
+                    )(b, envs, fill0)
+                    return jnp.where(fed[:, None], w, b)
+            else:
+                # keep the fallback mode 100% vmap-free (its whole point is
+                # surviving the runtime's vmapped-program fragility)
+                def write_per_channel(b):
+                    rows = []
+                    for c in range(n_channels):
+                        w = lax.dynamic_update_slice(b[c], envs[c], (fill0[c],))
+                        rows.append(jnp.where(fed[c], w, b[c]))
+                    return jnp.stack(rows)
 
             synced = jnp.all(fed) & jnp.all(fill0 == fill0[0])
             bufs = lax.cond(synced, write_shared, write_per_channel, bufs)
@@ -786,7 +796,16 @@ def make_channels_step_hybrid(config: PipelineConfig, params: Params,
             emit_ops = jax.tree.map(stack, *emits)
             frames = jnp.stack(frames_l)
 
-        return jax.vmap(assemble)(states, inter, ac_ops, emit_ops, frames)
+        if cond_mode == "batched":
+            return jax.vmap(assemble)(states, inter, ac_ops, emit_ops, frames)
+        news, outs = [], []
+        for c in range(n_channels):
+            st2, out = assemble(*jax.tree.map(
+                lambda x: x[c], (states, inter, ac_ops, emit_ops, frames)))
+            news.append(st2)
+            outs.append(out)
+        stack = lambda *xs: jnp.stack(xs)
+        return jax.tree.map(stack, *news), jax.tree.map(stack, *outs)
 
     return cstep
 
