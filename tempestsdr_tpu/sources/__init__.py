@@ -14,3 +14,4 @@ from .base import Source, SourceBlock, load_source  # noqa: F401
 from .rawfile import RawFileSource  # noqa: F401
 from .synthetic import SyntheticSource, render_test_pattern, synth_iq  # noqa: F401
 from .live import SimulatedLiveSource  # noqa: F401
+from .rtltcp import RtlTcpSource  # noqa: F401

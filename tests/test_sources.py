@@ -166,6 +166,144 @@ def test_native_ring_drop_accounting():
     ring.close()
 
 
+class FakeRtlTcpServer:
+    """In-process rtl_tcp server: sends the RTL0 header, records commands,
+    and streams a synthetic u8 IQ capture (rtl_tcp.c wire format)."""
+
+    def __init__(self, iq_bytes: bytes):
+        import socket
+        import struct
+        import threading
+
+        self.iq = iq_bytes
+        self.commands = []
+        self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.port = self.srv.getsockname()[1]
+        self._struct = struct
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _serve(self):
+        import struct
+
+        conn, _ = self.srv.accept()
+        conn.settimeout(0.2)
+        conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))  # R820T, 29 gains
+        pos = 0
+        try:
+            while not self._stop.is_set():
+                try:
+                    data = conn.recv(5)
+                    while len(data) >= 5:
+                        cmd, val = struct.unpack(">BI", data[:5])
+                        self.commands.append((cmd, val))
+                        data = data[5:]
+                except TimeoutError:
+                    pass
+                except OSError:
+                    break
+                chunk = self.iq[pos:pos + 65536]
+                if len(chunk) < 65536:  # loop the capture
+                    chunk = chunk + self.iq[: 65536 - len(chunk)]
+                    pos = 65536 - (len(self.iq) - pos)
+                else:
+                    pos += 65536
+                try:
+                    conn.sendall(chunk)
+                except OSError:
+                    break
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def stop(self):
+        self._stop.set()
+        try:
+            self.srv.close()
+        except OSError:
+            pass
+
+
+def test_rtltcp_source_end_to_end():
+    """rtl_tcp driver against an in-process protocol-faithful server: header
+    parsing, rate/freq/gain commands, u8 block streaming through a full
+    Session producing frames, and a live retune mid-stream."""
+    import jax.numpy as jnp
+    from tempestsdr_tpu import native as native_io
+    from tempestsdr_tpu.config import PipelineConfig
+    from tempestsdr_tpu.params import Params
+    from tempestsdr_tpu.sources.base import load_source
+    from tempestsdr_tpu.sources.rtltcp import (
+        CMD_SET_FREQ,
+        CMD_SET_GAIN,
+        CMD_SET_GAIN_MODE,
+        CMD_SET_SAMPLE_RATE,
+    )
+    from tempestsdr_tpu.sources.synthetic import render_test_pattern, synth_iq
+    from tempestsdr_tpu.stream.session import Session, SessionCallbacks
+
+    if not native_io.available():
+        pytest.skip("native IO runtime unavailable")
+
+    lines, twidth, refresh, sr = 100, 200, 50.0, 1e6
+    raster = render_test_pattern(lines, twidth)
+    iq = synth_iq(raster, samplerate=sr, pixelclock=lines * twidth * refresh,
+                  n_samples=int(4 * sr / refresh), noise=0.01, dtype=np.uint8)
+    server = FakeRtlTcpServer(iq.tobytes())
+    try:
+        src = load_source(
+            "rtltcp",
+            f"127.0.0.1 {server.port} {sr:.0f} freq=433000000 gain=0.5",
+        )
+        assert src.block_dtype() == np.uint8
+        cfg = PipelineConfig(samplerate=sr, height=lines, refreshrate=refresh,
+                             block_samples=8192, autocorr=False)
+        frames = []
+        sess = Session(cfg, Params(framerate_pll=False), src,
+                       SessionCallbacks(on_frame=frames.append))
+
+        def on_frame(f):
+            if len(frames) == 3:
+                sess.set_basefreq(433_250_000)  # live retune mid-stream
+
+        sess.callbacks.on_frame = lambda f: (frames.append(f), on_frame(f))
+        n = sess.run(max_frames=8)
+        assert n == 8
+        assert frames[0].shape == (lines, cfg.width)
+        # frames carry the raster (not noise): consecutive frames correlate
+        cc = np.corrcoef(frames[-1].ravel(), frames[-2].ravel())[0, 1]
+        assert cc > 0.8, cc
+        assert (src.tuner_type, src.tuner_gain_count) == (5, 29)
+    finally:
+        server.stop()
+    cmds = dict()
+    for c, v in server.commands:
+        cmds.setdefault(c, []).append(v)
+    assert cmds[CMD_SET_SAMPLE_RATE] == [int(sr)]
+    assert cmds[CMD_SET_FREQ][0] == 433_000_000
+    assert 433_250_000 in cmds[CMD_SET_FREQ]  # the live retune arrived
+    assert cmds[CMD_SET_GAIN_MODE] == [1]
+    assert cmds[CMD_SET_GAIN] == [248]  # 0.5 * 49.6 dB in tenths
+
+
+def test_rtltcp_bad_params_and_no_server():
+    from tempestsdr_tpu.errors import TSDRError
+    from tempestsdr_tpu.sources.base import load_source
+
+    with pytest.raises(TSDRError):
+        load_source("rtltcp", "localhost")  # too few params
+    with pytest.raises(TSDRError):
+        load_source("rtltcp", "localhost notaport 1e6")
+    src = load_source("rtltcp", "127.0.0.1 1 1000000")  # port 1: refused
+    with pytest.raises(TSDRError):
+        next(iter(src.stream(4096)))
+
+
 def test_simulated_live_source_seam_end_to_end():
     """The live-plugin seam (TSDRPlugin_UHD.cpp:264-294 semantics) driven
     through a full Session: an independent producer thread pushes paced IQ
