@@ -742,9 +742,8 @@ def bench_mesh():
     _ = np.asarray(fv)
     one_dev8 = round((time.monotonic() - t0) / K * 1e3, 2)
     cores = _os.cpu_count() or 1
-    core_floor = round(one_dev8 / min(cores, C), 2)
     print(f"# mesh ch=8 on 1 device: {one_dev8} ms/block "
-          f"(core floor at {cores} cores: {core_floor})", file=sys.stderr)
+          f"({cores} host cores)", file=sys.stderr)
 
     overhead8 = round(curve[8] / curve[1], 2)
     print(json.dumps({
@@ -757,7 +756,13 @@ def bench_mesh():
         "channel_dp_efficiency_at_8": round(ch_curve[1] / ch_curve[8], 2),
         "channel_dp_8ch_single_device_ms": one_dev8,
         "host_cores": cores,
-        "channel_dp_vs_core_floor": round(ch_curve[8] / max(core_floor, 1e-9), 2),
+        # sharded vs the SAME total work on one device: the clean statement
+        # of what the 'ch' sharding buys on an N-core virtual mesh (ideal =
+        # min(cores, C) / cores_already_used; both runs multi-thread, so the
+        # per-device efficiency numbers above are core-contention artifacts,
+        # not sharding overhead — the program has no collectives)
+        "channel_dp_speedup_vs_single_device": round(
+            one_dev8 / max(ch_curve[8], 1e-9), 2),
     }))
     return 0
 
