@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="manual line-plot selection: derive the height as "
                         "frame_lag/line_lag (Main.java:1357-1361; frame_lag "
                         "from --select-lag if given, else samplerate/rate)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "(TensorBoard/Perfetto-readable; SURVEY §5.1)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -230,8 +233,19 @@ def main(argv=None) -> int:
         elif n_frames % 30 == 0:
             log(f"frame {n_frames}: range [{f.min():.3f}, {f.max():.3f}]")
 
+    import contextlib
+
+    trace_ctx = contextlib.nullcontext()
+    if args.trace:
+        import jax
+
+        os.makedirs(args.trace, exist_ok=True)
+        trace_ctx = jax.profiler.trace(args.trace)
+
     try:
-        rx.start(on_frame=on_frame, max_frames=args.frames, max_blocks=args.blocks)
+        with trace_ctx:
+            rx.start(on_frame=on_frame, max_frames=args.frames,
+                     max_blocks=args.blocks)
         apply_mode = None
         if detected["manual"] is not None:
             apply_mode = detected["manual"]  # manual click wins over AUT
