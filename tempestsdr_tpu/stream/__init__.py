@@ -16,3 +16,4 @@ from .pipeline import (  # noqa: F401
     make_channels_step_unrolled,
 )
 from .session import Session  # noqa: F401
+from .multisession import MultiSession  # noqa: F401

@@ -425,6 +425,54 @@ def test_api_warm_resolution_background():
     rx.close()
 
 
+def test_multisession_independent_targets():
+    """MultiSession: N sources with different content through one hybrid
+    program — per-channel frames carry their OWN raster, drops stay per
+    channel, plots fire per channel."""
+    from tempestsdr_tpu.stream.multisession import MultiSession
+
+    C = 3
+    srcs = []
+    for c in range(C):
+        s = SyntheticSource()
+        # different twidth per channel -> visibly different frame content
+        s.init(f"{LINES} {200 + 8 * c} {REFRESH} {SR} 0.01")
+        srcs.append(s)
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192)
+    got = {c: [] for c in range(C)}
+    plots = []
+    ms = MultiSession(cfg, Params(framerate_pll=False), srcs,
+                      on_frame=lambda c, f: got[c].append(f),
+                      on_plot=lambda c, ev: plots.append((c, ev.plot_id)))
+    total = ms.run(max_frames=4 * C + 2)
+    assert total >= 4 * C
+    assert all(len(got[c]) >= 3 for c in range(C))
+    # channels differ: content from different rasters must not be identical
+    a, b = got[0][-1], got[1][-1]
+    assert a.shape == b.shape == (LINES, cfg.width)
+    assert np.abs(a - b).max() > 0.05
+    # each channel is self-consistent frame to frame
+    for c in range(C):
+        cc = np.corrcoef(got[c][-1].ravel(), got[c][-2].ravel())[0, 1]
+        assert cc > 0.9, (c, cc)
+    assert plots, "no estimation rounds fired"
+    assert ms.frames_total[0] >= 3
+
+
+def test_multisession_rejects_mismatched_samplerate():
+    from tempestsdr_tpu.errors import TSDRError
+    from tempestsdr_tpu.stream.multisession import MultiSession
+
+    s1, s2 = SyntheticSource(), SyntheticSource()
+    s1.init(f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")
+    s2.init(f"{LINES} {TWIDTH} {REFRESH} {SR * 2} 0.01")
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    with pytest.raises(TSDRError):
+        MultiSession(cfg, Params(framerate_pll=False), [s1, s2])
+
+
 def test_session_runs_and_checkpoints(tmp_path):
     src = SyntheticSource()
     src.init(f"{LINES} {TWIDTH} {REFRESH} {SR} 0.01")
