@@ -468,7 +468,10 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
         # raw current-round half-range, kept for the full CSV dump
         # (dump_autocorrect frameratedetector.c:64-85)
         last_full = r[: ac_fft // 2]
-        buf = jnp.concatenate([buf[ac_round:], jnp.zeros((ac_round,), jnp.float32)])
+        # like the frame fold's spill copy: move only the <= block_samples
+        # leftover to the front; positions past the new fill are rewritten
+        # by block feeds before the next round's FFT reads [0, ac_fft)
+        buf = lax.dynamic_update_slice(buf, buf[ac_round:], (0,))
         return buf, avg_f, avg_l, calls, last_full
 
     def emit_fn(ops):
