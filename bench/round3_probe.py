@@ -148,7 +148,7 @@ def main():
         C, block = 8, 245760
         cfg5 = PipelineConfig(samplerate=16e6, height=628, refreshrate=60.0,
                               block_samples=block)
-        K5, M5 = 16, 6
+        K5, M5 = 32, 5  # >= 30 blocks per dispatch (CLAUDE.md timing rule)
     raws5 = jnp.asarray(rng.integers(
         0, 256, size=(K5, C, 2 * block), dtype=np.uint8))
     ctrlC = jax.tree.map(

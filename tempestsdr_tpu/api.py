@@ -188,7 +188,10 @@ class TSDR:
         from .stream.session import warm_compile_step
 
         cfg = self._make_config(height=height, refreshrate=refreshrate)
-        dtype = self._source.block_dtype()
+        # superresolution sessions dispatch host-stitched float32 blocks
+        # regardless of the source's raw dtype (session._run_superres)
+        dtype = (np.float32 if self._params.superresolution
+                 else self._source.block_dtype())
         if background:
             import threading
 

@@ -93,7 +93,7 @@ def main(argv=None) -> int:
     def on_value(ev):
         log(f"value {ev.value_id.name}: {ev.arg0:.6g} {ev.arg1:.6g}")
 
-    detected = {"est": None, "manual": None}
+    detected = {"est": None, "manual": None, "warm_threads": {}}
 
     def parse_sel(spec):
         try:
@@ -151,6 +151,9 @@ def main(argv=None) -> int:
         while the compile runs — never kill the restarted one)."""
         import threading
 
+        key = (int(height), float(rate))
+        if key in detected["warm_threads"]:
+            return  # already warming this mode (e.g. manual + AUT agree)
         sess = rx.session
 
         def _go():
@@ -164,7 +167,7 @@ def main(argv=None) -> int:
                     sess.stop()
 
         t = threading.Thread(target=_go, daemon=True)
-        detected["warm_thread"] = t
+        detected["warm_threads"][key] = t
         t.start()
 
     plot_rounds = {"n": 0}
@@ -256,7 +259,9 @@ def main(argv=None) -> int:
                 apply_mode = (est.mode.height, est.mode.refreshrate)
         if args.auto_apply and apply_mode is not None:
             height, rate = apply_mode
-            t = detected.get("warm_thread")
+            # join the warm thread for the mode actually being applied
+            # (manual and AUT may have warmed different geometries)
+            t = detected["warm_threads"].get((int(height), float(rate)))
             if t is not None:
                 t.join(timeout=600)  # the restart below reuses its compile
             log(f"applying detected mode: {height} lines @ {rate:g} Hz")

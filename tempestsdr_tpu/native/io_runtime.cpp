@@ -62,7 +62,13 @@ struct Ring {
       if (closed) return false;
     }
     if (n > cap() - size) {
-      drops.emplace_back(written, n);
+      // coalesce consecutive drops at the same stream position (a stalled
+      // consumer otherwise grows the deque unboundedly, one entry per
+      // rejected chunk for hours)
+      if (!drops.empty() && drops.back().first == written)
+        drops.back().second += n;
+      else
+        drops.emplace_back(written, n);
       return false;
     }
     size_t first = std::min(n, cap() - head);

@@ -136,13 +136,14 @@ class RtlTcpSource(Source):
             buf += got
         return buf
 
-    def _read_loop(self, ring) -> None:
+    def _read_loop(self, sock, ring) -> None:
         """Receive thread: socket -> non-blocking ring writes. A full ring
         drops the chunk whole and counts it (the hardware-FIFO-overflow
-        semantics the pipeline's drop compensation consumes)."""
+        semantics the pipeline's drop compensation consumes). Takes the
+        socket as a local (stop() nulls self._sock concurrently)."""
         try:
             while self._running:
-                data = self._sock.recv(CHUNK_BYTES)
+                data = sock.recv(CHUNK_BYTES)
                 if not data:
                     break
                 ring.write(data)
@@ -184,14 +185,18 @@ class RtlTcpSource(Source):
         except Exception:
             self._close_sock()
             raise
+        # the 10 s timeout guards connect/handshake only: a live stream may
+        # legitimately stall longer (retune, network hiccup) — the reader
+        # must block until data or close, never time out mid-stream
+        sock.settimeout(None)
 
         block_bytes = 2 * block_samples  # u8 I/Q
         ring = native_io.Ring(max(self._ring_chunks * CHUNK_BYTES,
                                   4 * block_bytes))
         self._ring = ring
         self._running = True
-        self._reader = threading.Thread(target=self._read_loop, args=(ring,),
-                                        daemon=True)
+        self._reader = threading.Thread(target=self._read_loop,
+                                        args=(sock, ring), daemon=True)
         self._reader.start()
         try:
             # matured drops attach to the block AFTER the gap (the ring
