@@ -78,6 +78,15 @@ def test_example_auto_detect_mode(capture, tmp_path):
     assert (tmp_path / "autocorr_line.pgm").exists()
 
 
+def test_example_multi_target(tmp_path):
+    out = run_example(
+        [os.path.join(EX, "multi_target.py"), "3"],
+        tmp_path,
+    )
+    assert "frames per channel" in out, out
+    assert "target 2:" in out, out
+
+
 def test_example_multi_channel(tmp_path):
     out = run_example(
         [os.path.join(EX, "multi_channel.py"), "4"],
