@@ -116,6 +116,17 @@ class TSDR:
             raise TSDRError(TSDRStatus.NOT_RUNNING, "no active session")
         self._session.sync_shift(pixels, direction)
 
+    def nudge_framerate(self, delta_hz: float) -> float:
+        """Manual framerate nudge (the GUI framerate hold-buttons /
+        unshifted left-right keys, Main.java:960-965,1012-1020). Live while
+        streaming — rides the carried PLL refresh delta (no recompile);
+        between sessions it adjusts the nominal rate for the next start.
+        Returns the refresh rate now in effect."""
+        if self._session is not None and self.is_running:
+            return self._session.nudge_refreshrate(delta_hz)
+        self._refreshrate = max(1e-3, self._refreshrate + float(delta_hz))
+        return self._refreshrate
+
     def set_param(self, param: int, value: int) -> None:
         """tsdr_setparameter_int: one-shot params act immediately; flag
         params apply live — a running session swaps its compiled step at the

@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="manual line-plot selection: derive the height as "
                         "frame_lag/line_lag (Main.java:1357-1361; frame_lag "
                         "from --select-lag if given, else samplerate/rate)")
+    p.add_argument("--tui", action="store_true",
+                   help="interactive terminal viewer: live half-block video "
+                        "+ keyboard control (the GUI's canvas/hold-button "
+                        "surface — see tempestsdr_tpu/tui.py for the key map)")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
                         "(TensorBoard/Perfetto-readable; SURVEY §5.1)")
@@ -235,6 +239,16 @@ def main(argv=None) -> int:
             log(f"frame {n_frames}: saved {path}")
         elif n_frames % 30 == 0:
             log(f"frame {n_frames}: range [{f.min():.3f}, {f.max():.3f}]")
+
+    if args.tui:
+        from .tui import run_tui
+
+        n = run_tui(rx, max_frames=args.frames, max_blocks=args.blocks,
+                    freq=args.freq, gain=args.gain,
+                    snapshot_dir=args.out or ".", snapshot_fmt=args.format)
+        log(f"tui done: {n} frames")
+        rx.close()
+        return 0
 
     import contextlib
 

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import PipelineConfig
+from ..config import PLL_HEADROOM_FRAC, PipelineConfig
 from ..params import DIRECTION, Params
 from ..errors import TSDRError, TSDRStatus
 from ..events import PLOT_ID, VALUE_ID, PlotEvent, ValueEvent
@@ -150,6 +150,7 @@ class Session:
         self._pending_sync = 0
         self._motionblur = 0.0
         self._pending_ac_reset = False
+        self._pending_refresh = 0.0
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self._agruns = 0
@@ -259,9 +260,17 @@ class Session:
                         f.write(f"{ti:f}, {di:f}\n")
             self._emit_value(ValueEvent(VALUE_ID.AUTOCORRECT_DUMPED, 0, 0))
             return True
-        if int(np.asarray(self.state.ac_calls)) == 0:
+        for attempt in range(4):
+            try:  # cross-thread read races the loop's donated state swap
+                st = self.state
+                calls = int(np.asarray(st.ac_calls))
+                r = np.asarray(st.ac_last_full)
+                break
+            except RuntimeError:
+                if attempt == 3:
+                    return False
+        if calls == 0:
             return False
-        r = np.asarray(self.state.ac_last_full)
         sr = self.config.samplerate
         t = np.arange(r.shape[0]) / sr * 1000.0
         db = 10.0 * np.log10(np.maximum(np.abs(r), 1e-300))
@@ -282,7 +291,44 @@ class Session:
         self.source.set_gain(gain)
 
     def current_refreshrate(self) -> float:
-        return float(self.config.refreshrate + np.asarray(self.state.pll.refresh_delta))
+        """Nominal + carried PLL delta. Safe to call from any thread: while
+        the loop is streaming, the device state is continuously donated to
+        the next step (reading it cross-thread can hit a deleted buffer), so
+        concurrent callers get the host mirror refreshed at every emitted
+        frame (_dispatch)."""
+        try:
+            return float(
+                self.config.refreshrate + np.asarray(self.state.pll.refresh_delta)
+            )
+        except RuntimeError:  # donated mid-read by the streaming thread
+            return (self._last_refresh if self._last_refresh is not None
+                    else float(self.config.refreshrate))
+
+    def nudge_refreshrate(self, delta_hz: float) -> float:
+        """Manual framerate nudge — the GUI's framerate hold-buttons
+        (Main.java:1012-1020 onFrameRateChanged -> setFrameRate). The
+        reference re-derives geometry on every nudge (setResolution ->
+        set_internal_samplerate); here the nudge rides the same carried PLL
+        refresh_delta the PLL itself uses, so small corrections apply LIVE
+        with no recompile. Saturates at the static headroom
+        (config.PLL_HEADROOM_FRAC of nominal); returns the refresh rate that
+        will be in effect after the nudge — when it stops tracking the
+        requests, the caller should treat the target rate as a geometry
+        change (warm_resolution + restart)."""
+        self._pending_refresh += float(delta_hz)
+        lim = self.config.refreshrate * PLL_HEADROOM_FRAC
+        cur = self.current_refreshrate() - self.config.refreshrate
+        return self.config.refreshrate + max(-lim, min(lim, cur + self._pending_refresh))
+
+    def _apply_refresh_nudge(self) -> None:
+        lim = self.config.refreshrate * PLL_HEADROOM_FRAC
+        d = float(np.asarray(self.state.pll.refresh_delta)) + self._pending_refresh
+        self._pending_refresh = 0.0
+        self.state = self.state._replace(
+            pll=self.state.pll._replace(
+                refresh_delta=jnp.float32(max(-lim, min(lim, d)))
+            )
+        )
 
     # ---- checkpoint / resume (absent in reference; SURVEY.md §5.4) ----
 
@@ -335,6 +381,8 @@ class Session:
                     self.state = reset_autocorr(self.state)
                     self._pending_ac_reset = False
                     self._emit_value(ValueEvent(VALUE_ID.AUTOCORRECT_RESET, 0, 0))
+                if self._pending_refresh:
+                    self._apply_refresh_nudge()
                 if self.batch_blocks > 1:
                     # each block's drop count rides at its own scan slot so
                     # compensation fires at the drop's true stream position
@@ -446,6 +494,8 @@ class Session:
                     self.state = reset_autocorr(self.state)
                     self._pending_ac_reset = False
                     self._emit_value(ValueEvent(VALUE_ID.AUTOCORRECT_RESET, 0, 0))
+                if self._pending_refresh:
+                    self._apply_refresh_nudge()
                 self.samples_dropped_total += blk.dropped
                 raw = np.asarray(blk.samples)
                 f = _normalize_host(raw)
@@ -510,8 +560,9 @@ class Session:
             if self.callbacks.on_frame:
                 self.callbacks.on_frame(np.asarray(out.frame))
             rr = float(out.refreshrate)
-            if self.params.framerate_pll and rr != self._last_refresh:
-                self._last_refresh = rr
+            changed = rr != self._last_refresh
+            self._last_refresh = rr  # thread-safe mirror for off-thread reads
+            if self.params.framerate_pll and changed:
                 self._emit_value(ValueEvent(VALUE_ID.PLL_FRAMERATE, rr, 0))
             # reference cadence quirk (dsp.c:231-235 `runs++ > 5`): the
             # pre-increment compare makes the first report land on frame 7
