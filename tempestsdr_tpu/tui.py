@@ -227,6 +227,8 @@ class TuiController:
       n                        nearest-neighbour resampling toggle
       i                        invert video (JNI converter invert flag)
       p                        PNG/PGM snapshot (Main.java:1095-1116)
+      v                        cycle view: video -> frame plot -> line plot
+                               (the GUI's three visualizer panels)
       q                        stop and quit
     """
 
@@ -247,12 +249,18 @@ class TuiController:
         self._gain = 0.5
         self._snap_n = 0
         self._last_frame: Optional[np.ndarray] = None
+        self._plots: dict = {}  # PLOT_ID -> latest PlotEvent
+        self.view = "video"  # video | frame | line (the GUI's 3 visualizers)
+        self._plot_info: dict = {}
 
     # -- telemetry feeds (wired to TSDR callbacks by run_tui) --
 
     def on_frame(self, f: np.ndarray) -> None:
         self._last_frame = f
         self.status.frames += 1
+
+    def on_plot(self, ev) -> None:
+        self._plots[ev.plot_id] = ev
 
     def on_value(self, ev) -> None:
         from .events import VALUE_ID
@@ -373,8 +381,44 @@ class TuiController:
             save_frame(self._last_frame, path, invert=self.invert)
             self.osd(f"Snapshot: {path}", OSD_TIME_LONG_S)
             return
+        if key == "v":
+            order = ["video", "frame", "line"]
+            self.view = order[(order.index(self.view) + 1) % len(order)]
+            names = {"video": "Video", "frame": "Autocorr: frame plot",
+                     "line": "Autocorr: line plot"}
+            self.osd(f"View: {names[self.view]}")
+            return
         if key == "q":
             self.quit = True
+
+    # -- view rendering (the GUI's visualizer panel switch) --
+
+    def render_cells(self, cols: int, rows: int) -> Optional[np.ndarray]:
+        """Cells for the active view: the video canvas, or one of the two
+        autocorrelation plot widgets rendered by the exact widget pipeline
+        (estimate/plotrender ← PlotVisualizer.java:200-247)."""
+        if self.view == "video":
+            if self._last_frame is None:
+                return None
+            return frame_to_cells(self._last_frame, cols, rows,
+                                  invert=self.invert)
+        from .events import PLOT_ID
+        from .estimate.plotrender import render_plot
+
+        pid = PLOT_ID.FRAME if self.view == "frame" else PLOT_ID.LINE
+        ev = self._plots.get(pid)
+        if ev is None:
+            return None  # no estimation round yet
+        kw = {}
+        if self.view == "line":
+            fev = self._plots.get(PLOT_ID.FRAME)
+            if fev is not None:  # widget transformer: height = frame/line lag
+                kw["frame_lag"] = int(np.argmax(fev.values)) + fev.offset
+        img, info = render_plot(np.asarray(ev.values), offset=ev.offset,
+                                samplerate=ev.samplerate, nwidth=cols,
+                                nheight=2 * rows, kind=self.view, **kw)
+        self._plot_info[self.view] = info
+        return np.repeat(img[..., None], 3, axis=-1)
 
     # -- status bar --
 
@@ -393,6 +437,10 @@ class TuiController:
             bits.append(f"snr {s.snr_db:.1f} dB")
         if s.ac_rounds:
             bits.append(f"ac {s.ac_rounds}")
+        if self.view != "video":
+            info = self._plot_info.get(self.view)
+            bits.append(f"[{self.view} plot]"
+                        + (f" peak {info['label']}" if info else ""))
         if self.now() < s.osd_until and s.osd:
             bits.append("| " + s.osd)
         line = "  ".join(bits)
@@ -422,6 +470,7 @@ def run_tui(rx, *, max_frames=None, max_blocks=None, freq=None, gain=None,
                         snapshot_fmt=snapshot_fmt)
     ctl.seed(freq, gain)
     rx._callbacks.on_value = ctl.on_value  # chain telemetry into the bar
+    rx._callbacks.on_plot = ctl.on_plot
 
     fd = stdin.fileno()
     old = termios.tcgetattr(fd)
@@ -440,11 +489,9 @@ def run_tui(rx, *, max_frames=None, max_blocks=None, freq=None, gain=None,
                 keys, buf = decode_keys(buf + data)
                 for k in keys:
                     ctl.handle_key(k)
-            f = ctl._last_frame
             cols, rows = os.get_terminal_size(stdout.fileno())
-            if f is not None:
-                cells = frame_to_cells(f, cols, max(1, rows - 1),
-                                       invert=ctl.invert)
+            cells = ctl.render_cells(cols, max(1, rows - 1))
+            if cells is not None:
                 lines = cells_to_ansi(cells)
                 stdout.write("\x1b[H" + "\n".join(lines) + "\n")
                 fps_count += 1

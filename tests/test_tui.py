@@ -207,6 +207,41 @@ def test_status_line_width_and_fields():
     assert len(ctl.status_line(20)) == 20
 
 
+def test_controller_view_cycle_and_plot_render():
+    rx, ctl, _ = make_ctl()
+    from tempestsdr_tpu.events import PLOT_ID, PlotEvent
+
+    # no frame/plots yet -> nothing to draw in any view
+    assert ctl.render_cells(10, 5) is None
+    ctl.handle_key("v")
+    assert ctl.view == "frame"
+    assert ctl.render_cells(10, 5) is None
+
+    # feed plot events: a clear peak in each window
+    fvals = np.ones(500)
+    fvals[120] = 100.0
+    lvals = np.ones(300)
+    lvals[40] = 50.0
+    ctl.on_plot(PlotEvent(PLOT_ID.FRAME, 1000, fvals, 8e6))
+    ctl.on_plot(PlotEvent(PLOT_ID.LINE, 50, lvals, 8e6))
+
+    cells = ctl.render_cells(64, 20)
+    assert cells.shape == (40, 64, 3)
+    assert cells.max() == 255  # the curve reached the image
+    line = ctl.status_line(120)
+    assert "[frame plot]" in line and "fps" in line  # peak label = fps
+
+    ctl.handle_key("v")
+    assert ctl.view == "line"
+    cells = ctl.render_cells(64, 20)
+    assert cells is not None
+    # line-view label is the height transformer's "N px" (Main.java:1330-1344)
+    assert "px" in ctl.status_line(120)
+
+    ctl.handle_key("v")
+    assert ctl.view == "video"
+
+
 # ---- the live nudge through a real session ----
 
 
