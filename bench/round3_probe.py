@@ -109,6 +109,50 @@ def main():
     timed("config4:step-spill", run4, init_state(cfg4), raws4, M4,
           K4 * cfg4.block_samples)
 
+    # ---- 1b. estimator cost decomposition (VERDICT #4: bound the
+    # "move the FFT round off the scan" lever with numbers from ONE session:
+    # total estimator cost = step-spill minus no-autocorr; FFT share =
+    # ac:round-isolated / blocks-per-round) ----
+    stepNA = make_step(cfg4, Params(autocorr_plots_off=True))
+
+    def bodyNA(st, raw):
+        st, out = stepNA(st, raw, ctrl1)
+        return st, out.frame_valid
+
+    @jax.jit
+    def runNA(st, raws):
+        return lax.scan(bodyNA, st, raws)
+
+    timed("config4:step-no-autocorr", runNA, init_state(cfg4), raws4, M4,
+          K4 * cfg4.block_samples)
+
+    from tempestsdr_tpu.ops.autocorr import (
+        accumulate_running_mean,
+        autocorrelation_magnitude,
+    )
+
+    ac_fft = cfg4.ac_fft_size
+    NR = 8  # rounds per dispatch
+
+    def bodyAC(carry, x):
+        avg, calls = carry
+        r = autocorrelation_magnitude(x)
+        avg = accumulate_running_mean(avg, r, calls + 1)
+        return (avg, calls + 1), r[0]
+
+    @jax.jit
+    def runAC(carry, xs):
+        return lax.scan(bodyAC, carry, xs)
+
+    xs = jnp.asarray(rng.standard_normal((NR, ac_fft)), jnp.float32)
+    ac0 = (jnp.zeros((ac_fft,), jnp.float32), jnp.int32(0))
+    r = timed("ac:round-isolated", runAC, ac0, xs, M4, NR * ac_fft)
+    blocks_per_round = cfg4.ac_round_samples / cfg4.block_samples
+    r["ms_per_round"] = round(r["ms_per_dispatch_best"] / NR, 3)
+    r["amortized_ms_per_block"] = round(
+        r["ms_per_round"] / blocks_per_round, 4)
+    flush(results)
+
     # ---- 2. framebuf shift vs spill micro A/B (per-frame cost) ----
     fb_len = cfg4.frame_pixels + cfg4.max_block_pixels
     NF = 64  # frames per dispatch
