@@ -533,6 +533,10 @@ class Session:
         """TSDRLibrary.java:288-338 startAsync equivalent."""
         if self._thread is not None and self._thread.is_alive():
             raise TSDRError(TSDRStatus.ALREADY_RUNNING, "session already streaming")
+        # mark running BEFORE the thread is scheduled: a caller polling
+        # is_running right after start_async must not observe a not-yet-
+        # started loop as "stopped" (run() re-asserts and clears in finally)
+        self._running = True
         self._thread = threading.Thread(target=self.run, kwargs=kw, daemon=True)
         self._thread.start()
 
