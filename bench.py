@@ -51,6 +51,11 @@ STALL_S = float(os.environ.get("TSDR_BENCH_STALL_S", 480.0))
 # STALL_S: kill a child this long without a new config result
 # (claim ~100-250 s + first compile ~40 s + run < 60 s, with margin)
 MAX_SPAWNS = 4
+# When the TPU never produces a number (relay wedged for the whole run), a
+# LAST-RESORT child re-runs the missing configs on the CPU backend so the
+# record degrades to a real-if-slow number instead of zero; the result is
+# flagged "degraded" and each config carries its "backend".
+FALLBACK_BUDGET_S = float(os.environ.get("TSDR_BENCH_FALLBACK_BUDGET_S", 600.0))
 PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".bench_partial.json")
 
@@ -130,6 +135,7 @@ def parent_main():
 
     retried = set()
     spawns = 0
+    stalls = 0
     passthrough = [a for a in sys.argv[1:] if a not in ("--child",)]
     while remaining and spawns < MAX_SPAWNS:
         if time.monotonic() - t0 > BUDGET_S:
@@ -154,6 +160,8 @@ def parent_main():
             if stalled or over:
                 why = "stalled (wedged claim?)" if stalled else "over budget"
                 print(f"# parent: killing child — {why}", file=sys.stderr)
+                if stalled:
+                    stalls += 1
                 child.kill()
                 child.wait()
                 break
@@ -172,11 +180,46 @@ def parent_main():
     extra = {}
     missing = [n for n in _plan_order(only, channels)
                if f"config{n}" not in configs]
+    if missing and stalls and os.environ.get("TSDR_BENCH_NO_FALLBACK") != "1":
+        # every TPU attempt stalled on the claim: degrade the missing configs
+        # to a CPU-backend run (flagged) — some number beats a zero record
+        print(f"# parent: TPU unreachable after {stalls} stalled attempt(s); "
+              f"CPU fallback for configs {missing}", file=sys.stderr)
+        fb_done = _run_fallback(missing, passthrough)
+        configs = _load_partial(PARTIAL_PATH)
+        missing = [n for n in _plan_order(only, channels)
+                   if f"config{n}" not in configs]
+        if fb_done:
+            extra["degraded"] = ("tpu_relay_unreachable; cpu-backend fallback "
+                                 "for configs " + ",".join(map(str, fb_done)))
     if missing:
         extra["partial"] = True
         extra["missing_configs"] = missing
     _emit_final(configs, extra)
     return 0
+
+
+def _run_fallback(missing, passthrough):
+    """Run the missing configs in a CPU-forced child (bounded by
+    FALLBACK_BUDGET_S); returns the list of configs it completed."""
+    import subprocess
+
+    before = _done_set(_load_partial(PARTIAL_PATH))
+    env = dict(os.environ, TSDR_BENCH_CPU="1", TSDR_BENCH_FALLBACK="1")
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           "--configs", ",".join(map(str, missing))] + passthrough
+    child = subprocess.Popen(cmd, env=env)
+    t0 = time.monotonic()
+    while child.poll() is None:
+        time.sleep(2)
+        if time.monotonic() - t0 > FALLBACK_BUDGET_S:
+            print("# parent: killing CPU fallback — over budget",
+                  file=sys.stderr)
+            child.kill()
+            child.wait()
+            break
+    after = _done_set(_load_partial(PARTIAL_PATH))
+    return sorted(int(k[len("config"):]) for k in after - before)
 
 
 def _done_set(configs):
@@ -186,14 +229,20 @@ def _done_set(configs):
 def child_main():
     """Run the requested configs serially in ONE process (one session claim),
     flushing each result to the partial file the moment it exists."""
-    hang = os.environ.get("TSDR_BENCH_HANG_ONCE_S")
-    if hang:
-        # test hook simulating a wedged session claim: the FIRST child hangs
-        # here; the marker file lets the parent's respawned child proceed
-        marker = PARTIAL_PATH + ".hang_done"
-        if not os.path.exists(marker):
-            open(marker, "w").close()
-            time.sleep(float(hang))
+    if os.environ.get("TSDR_BENCH_FALLBACK") != "1":
+        # test hooks simulating a wedged session claim (the CPU-forced
+        # fallback child never claims the TPU, so it never hangs)
+        hang = os.environ.get("TSDR_BENCH_HANG_ONCE_S")
+        if hang:
+            # the FIRST child hangs here; the marker file lets the parent's
+            # respawned child proceed
+            marker = PARTIAL_PATH + ".hang_done"
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                time.sleep(float(hang))
+        always = os.environ.get("TSDR_BENCH_HANG_ALWAYS_S")
+        if always:
+            time.sleep(float(always))  # a relay wedged for the whole run
 
     import jax
 
@@ -231,6 +280,7 @@ def child_main():
     for num in nums:
         try:
             res = fns[num]()
+            res.setdefault("backend", jax.default_backend())
         except Exception as e:  # noqa: BLE001 — one config must not sink the rest
             print(f"# config {num} FAILED: {e}", file=sys.stderr)
             res = {"error": str(e)[:300]}

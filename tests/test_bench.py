@@ -46,6 +46,21 @@ def test_parent_survives_wedged_child_claim():
     assert "partial" not in out
 
 
+def test_cpu_fallback_when_tpu_never_claims():
+    # every child hangs on the (simulated) session claim: after the spawn
+    # budget the parent must degrade the missing configs to a CPU-backend
+    # fallback child and flag the result, instead of emitting zeros
+    out, r = _run(
+        {"TSDR_BENCH_HANG_ALWAYS_S": "120", "TSDR_BENCH_STALL_S": "6"},
+        ["--config", "1"],
+    )
+    assert "CPU fallback" in r.stderr
+    assert out["configs"]["config1"]["ingest_MSps"] > 0
+    assert out["configs"]["config1"]["backend"] == "cpu"
+    assert "cpu-backend fallback" in out.get("degraded", "")
+    assert "partial" not in out
+
+
 def test_partial_results_survive_late_failure(tmp_path):
     # budget expires after the first config: the final JSON must still carry
     # it, flagged partial with the missing configs listed
