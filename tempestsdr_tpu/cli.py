@@ -29,7 +29,8 @@ from .snapshot import save_frame
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tempestsdr-tpu", description=__doc__)
-    p.add_argument("--source", required=True, help="source name (rawfile, synthetic, ...)")
+    p.add_argument("--source", default=None, help="source name (rawfile, synthetic, ...); "
+                   "required unless --use-prefs supplies a saved one")
     p.add_argument("--source-params", default="", help="opaque source parameter string")
     p.add_argument("--height", type=int, default=628, help="total lines incl. blanking")
     p.add_argument("--rate", type=float, default=60.0, help="refresh rate Hz")
@@ -79,12 +80,65 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
                         "(TensorBoard/Perfetto-readable; SURVEY §5.1)")
+    p.add_argument("--use-prefs", action="store_true",
+                   help="apply saved preferences as defaults for any option "
+                        "not given on the command line (the GUI loads its "
+                        "java.util.prefs store at start, Main.java:90-104)")
+    p.add_argument("--save-prefs", action="store_true",
+                   help="persist this run's settings on exit")
+    p.add_argument("--prefs-path", default=None,
+                   help="preferences file (default ~/.config/tempestsdr_tpu/"
+                        "prefs.json or $TSDR_PREFS_PATH)")
     p.add_argument("--quiet", action="store_true")
     return p
 
 
+# pref key -> (cli flag, attr); mirrors the PREF_* set the GUI persists
+# (Main.java:90-104) + the PARAM toggle states (ParametersToggleButton.java)
+_PREF_MAP = [
+    ("source", "--source", "source"),
+    ("source_params", "--source-params", "source_params"),
+    ("height", "--height", "height"),
+    ("rate", "--rate", "rate"),
+    ("freq", "--freq", "freq"),
+    ("gain", "--gain", "gain"),
+    ("motionblur", "--motionblur", "motionblur"),
+    ("autoshift", "--autoshift", "autoshift"),
+    ("nearest", "--nearest", "nearest"),
+    ("no_pll", "--no-pll", "no_pll"),
+    ("no_autocorr", "--no-autocorr", "no_autocorr"),
+    ("invert", "--invert", "invert"),
+]
+
+
+def _flag_given(flag: str, argv) -> bool:
+    return any(a == flag or a.startswith(flag + "=") for a in argv)
+
+
+def _apply_prefs(args, prefs, argv) -> None:
+    for key, flag, attr in _PREF_MAP:
+        if not _flag_given(flag, argv) and key in prefs.keys():
+            setattr(args, attr, prefs.get(key))
+
+
+def _store_prefs(args, prefs) -> None:
+    prefs.update({key: getattr(args, attr) for key, flag, attr in _PREF_MAP})
+    prefs.save()
+
+
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    prefs = None
+    if args.use_prefs or args.save_prefs:
+        from .prefs import Preferences
+
+        prefs = Preferences(args.prefs_path)
+    if args.use_prefs:
+        _apply_prefs(args, prefs, argv)
+    if not args.source:
+        parser.error("--source is required (no saved source in preferences)")
 
     t0 = time.time()
     n_frames = 0
@@ -247,6 +301,8 @@ def main(argv=None) -> int:
                     freq=args.freq, gain=args.gain,
                     snapshot_dir=args.out or ".", snapshot_fmt=args.format)
         log(f"tui done: {n} frames")
+        if args.save_prefs:
+            _store_prefs(args, prefs)
         rx.close()
         return 0
 
@@ -285,6 +341,8 @@ def main(argv=None) -> int:
         rx.stop()
     dt = time.time() - t0
     log(f"done: {n_frames} frames in {dt:.1f}s ({n_frames/dt:.1f} fps)")
+    if args.save_prefs:
+        _store_prefs(args, prefs)
     rx.close()
     return 0
 

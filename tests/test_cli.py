@@ -119,3 +119,53 @@ def test_cli_plot_out(tmp_path, capsys):
     assert any("autocorr_line" in f for f in files)
     captured = capsys.readouterr().out
     assert "plot frame: peak" in captured
+
+
+def test_prefs_roundtrip(tmp_path):
+    from tempestsdr_tpu.prefs import Preferences
+
+    path = str(tmp_path / "prefs.json")
+    p = Preferences(path)
+    assert p.get("height", 628) == 628  # fresh store -> defaults
+    p.put("height", 314)
+    p.put("rate", 75.0)
+    p.save()
+    q = Preferences(path)
+    assert q.get("height") == 314 and q.get("rate") == 75.0
+    # corrupt store behaves as empty, never raises
+    with open(path, "w") as f:
+        f.write("{nope")
+    r = Preferences(path)
+    assert r.get("height", 1) == 1
+
+
+def test_cli_save_and_use_prefs(tmp_path, capsys):
+    prefs = str(tmp_path / "prefs.json")
+    rc = cli.main([
+        "--source", "synthetic",
+        "--source-params", "100 200 50 1000000 0.01",
+        "--height", "100", "--rate", "50",
+        "--block-samples", "8192", "--frames", "2",
+        "--no-pll", "--no-autocorr", "--quiet",
+        "--save-prefs", "--prefs-path", prefs,
+    ])
+    assert rc == 0
+    import json
+    with open(prefs) as f:
+        saved = json.load(f)
+    assert saved["source"] == "synthetic" and saved["height"] == 100
+    assert saved["no_autocorr"] is True
+
+    # second run: everything (source, geometry, toggles) from the store;
+    # explicit flags still win over saved values
+    rc = cli.main([
+        "--use-prefs", "--prefs-path", prefs,
+        "--block-samples", "8192", "--frames", "2", "--no-pll", "--quiet",
+    ])
+    assert rc == 0
+
+    # no source anywhere -> argparse error (exit 2)
+    import pytest
+    with pytest.raises(SystemExit) as e:
+        cli.main(["--frames", "1"])
+    assert e.value.code == 2
