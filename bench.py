@@ -550,29 +550,37 @@ class BenchRunner:
         return r
 
     def config4_wideband(self):
-        """64 MS/s flagship full pipeline — the headline chip-throughput."""
+        """64 MS/s flagship full pipeline — the headline chip-throughput.
+
+        block 786432 = 1.5 * 2^19: the round-3 block sweep
+        (bench/ROUND3_PROBE2.json) measured 382.8 MS/s there vs 343.1 at
+        2^19 and 373.5 at 1032192 in one session — every per-block fixed
+        cost (cond scaffolding, scan-carry round trips) amortizes over 1.5x
+        the samples, while past ~1M samples the emit-path buffers grow to
+        ~frame size and give the gain back."""
         from tempestsdr_tpu.config import PipelineConfig
         from tempestsdr_tpu.params import Params
 
         cfg = PipelineConfig(samplerate=64e6, height=628, refreshrate=60.0,
-                            block_samples=1 << 19)
-        K, M = (8, 2) if self.quick else (48, 12)
+                            block_samples=786432)
+        K, M = (8, 2) if self.quick else (32, 12)
         r = self._timed_scan(cfg, Params(), K, M)
         print(f"# config4 wideband@64MS/s: {r}", file=sys.stderr)
         return r
 
-    def config5_channels(self, n_channels: int, block: int = 245760):
+    def config5_channels(self, n_channels: int, block: int = 258048):
         """n independent 16 MS/s emitters on one chip.
 
         Default step: the round-3 HYBRID channels step (unrolled per-channel
-        pre with per-channel Mosaic resampler, shared ac-ring write, batched
-        any()-gated cond bodies — make_channels_step_hybrid). Its batched
-        cond bodies use vmap, which the remote runtime's round-2 regression
-        makes fragile at execution time; a worker crash kills this process
+        pre with per-channel Mosaic resampler, shared ac-ring write,
+        per-channel unrolled cond bodies — make_channels_step_hybrid with
+        its measured-best cond_mode="unrolled": 295.2 vs 200.9 MS/s for the
+        batched-cond variant, bench/ROUND3_PROBE.json). The hybrid program
+        is vmap-free, but a worker crash would still kill this process
         before an error can be recorded, so the attempt is FLAGGED in the
         partial file first — a respawned child sees the dangling hybrid
         marker and falls back to the fully-unrolled step (the round-2 TPU
-        workhorse, 281 MS/s)."""
+        workhorse, 290.2 MS/s in the same probe session)."""
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -619,8 +627,9 @@ class BenchRunner:
         sr = 16e6
         # block: any value < one frame of samples (266,667 at this geometry;
         # 261,333 at the PLL's 2% clamp) keeps the <=1-frame-boundary-per-
-        # step contract; 245760 (= 60*4096) amortizes the per-step fixed
-        # cost ~20% better than the earlier 196608
+        # step contract; 258048 = 63*4096 is the largest 4096-multiple under
+        # the clamp and measured +4.1% over round-2's 245760
+        # (bench/ROUND3_PROBE2.json channels:hybrid-unrolled-block-258048)
         K, M = (4, 2) if self.quick else (16, 4)
         cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
                             block_samples=block)

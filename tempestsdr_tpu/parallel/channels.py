@@ -39,7 +39,7 @@ def stack_states(config: PipelineConfig, n_channels: int, fir_ntaps: int = 0) ->
 
 
 def make_channel_step(config: PipelineConfig, params: Params, mesh: Mesh,
-                      n_channels: int = None, *, cond_mode: str = "batched"):
+                      n_channels: int = None, *, cond_mode: str = "unrolled"):
     """Uniform-cadence channel step, sharded over the 'ch' axis.
 
     n_channels defaults to one per device; it must divide evenly so every

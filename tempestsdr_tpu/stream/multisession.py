@@ -52,7 +52,7 @@ class MultiSession:
         sources: Sequence[Source],
         on_frame: Optional[Callable[[int, np.ndarray], None]] = None,
         on_plot=None,
-        cond_mode: str = "batched",
+        cond_mode: str = "unrolled",
     ):
         if not sources:
             raise TSDRError(TSDRStatus.ERR_PLUGIN, "no sources")

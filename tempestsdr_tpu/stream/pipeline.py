@@ -686,7 +686,7 @@ def make_channels_step_unrolled(config: PipelineConfig, params: Params,
 
 
 def make_channels_step_hybrid(config: PipelineConfig, params: Params,
-                              n_channels: int, *, cond_mode: str = "batched"):
+                              n_channels: int, *, cond_mode: str = "unrolled"):
     """Round-3 multi-channel step: the best of the unrolled and vmapped forms.
 
       - per-sample work (`pre`) is UNROLLED per channel with batched=False —
@@ -698,14 +698,17 @@ def make_channels_step_hybrid(config: PipelineConfig, params: Params,
         the per-channel vmapped writes (PROFILE.json
         channels:8:ac-write-shared); per-channel writes only after a drop
         desyncs a channel;
-      - the per-frame/per-round cond bodies run BATCHED across channels
-        behind any()-gates with per-channel select-commits
-        (cond_mode="batched"): the bodies are kernel-count-bound
-        (ROOFLINE.md), so one 8-wide body costs roughly one 1-wide body —
-        the 8 sequential bodies of the unrolled form were the dominant
-        config-5 cost. cond_mode="unrolled" keeps real per-channel conds
-        (the round-2 behaviour) for A/B and as the fallback if the batched
-        emit body trips the runtime's vmap fragility.
+      - the per-frame/per-round cond bodies: cond_mode="unrolled" (default)
+        keeps real per-channel lax.conds — only the channels that actually
+        cross a frame/round boundary pay, and the program stays 100%
+        vmap-free.  cond_mode="batched" runs the bodies ONCE 8-wide behind
+        any()-gates with per-channel select-commits; the kernel-count
+        hypothesis said that should win, but on the real TPU runtime it
+        measured 30% SLOWER than unrolled conds (200.9 vs 295.2 MS/s
+        aggregate at 8x16 MS/s, bench/ROUND3_PROBE.json
+        channels:hybrid-batched vs -unrolled-conds) *and* it is the vmap
+        program class the round-2 runtime regression makes fragile — it
+        stays as an A/B variant for future runtimes.
 
     Same stacked-state signature and bit-identical outputs as
     make_channels_step / make_channels_step_unrolled (equivalence-tested).
