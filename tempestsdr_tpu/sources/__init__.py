@@ -15,3 +15,4 @@ from .rawfile import RawFileSource  # noqa: F401
 from .synthetic import SyntheticSource, render_test_pattern, synth_iq  # noqa: F401
 from .live import SimulatedLiveSource  # noqa: F401
 from .rtltcp import RtlTcpSource  # noqa: F401
+from .subproc import ExternalProcessSource  # noqa: F401

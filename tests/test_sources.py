@@ -416,3 +416,179 @@ def test_session_tracks_dropped_total():
     sess = Session(cfg, Params(framerate_pll=False), src, SessionCallbacks())
     sess.run(max_blocks=6)
     assert sess.samples_dropped_total == 7777
+
+
+# ---------------------------------------------------------------------------
+# External-process meta-source (the ExtIO P5 equivalent, sources/subproc.py)
+# ---------------------------------------------------------------------------
+
+def _exec_params(rate, fmt, *opts, cmd):
+    import shlex
+
+    return " ".join([str(rate), fmt, *opts, "--",
+                     " ".join(shlex.quote(c) for c in cmd)])
+
+
+def _py(code):
+    import sys
+
+    return [sys.executable, "-u", "-c", code]
+
+
+def _native_or_skip():
+    from tempestsdr_tpu import native as native_io
+
+    if not native_io.available():
+        pytest.skip("native IO runtime unavailable")
+
+
+def test_exec_source_streams_child_stdout_in_order():
+    """Any program writing interleaved IQ to stdout is a source — the
+    ExtIO-dll-hosting capability re-based on a child process."""
+    _native_or_skip()
+    src = load_source("exec", _exec_params(
+        1_000_000, "u8",
+        cmd=_py("import sys; sys.stdout.buffer.write(bytes(range(256)) * 256)"),
+    ))
+    assert src.block_dtype() == np.uint8
+    blocks = _collect(src, 8192, 4)
+    got = np.concatenate([b.samples for b in blocks])
+    expect = np.tile(np.arange(256, dtype=np.uint8), 256)[: got.size]
+    assert np.array_equal(got, expect)
+    assert all(b.dropped == 0 for b in blocks)
+
+
+def test_exec_source_stdin_control():
+    """control=stdin: FREQ/GAIN line protocol on the child's stdin (the
+    SetHWLO equivalent, TSDRPlugin_ExtIO.c:307-319 polling loop)."""
+    _native_or_skip()
+    child = _py(
+        "import sys\n"
+        "w = sys.stdout.buffer\n"
+        "w.write(b'\\x01' * 65536); w.flush()\n"
+        "for line in sys.stdin:\n"
+        "    t = line.split()\n"
+        "    if t and t[0] == 'FREQ':\n"
+        "        w.write(bytes([int(t[1]) % 256]) * 65536); w.flush()\n"
+    )
+    src = load_source("exec", _exec_params(
+        1_000_000, "u8", "control=stdin", cmd=child))
+    it = src.stream(32768)  # block = 65536 bytes
+    first = next(it)
+    assert (first.samples == 1).all()
+    src.set_basefreq(7)
+    second = next(it)
+    assert (second.samples == 7).all()
+    src.stop()
+
+
+def test_exec_source_restart_control():
+    """control=restart: {freq} re-substituted into the argv template and the
+    child respawned (the Mirics device-reset retune fallback analog,
+    TSDRPlugin_Mirics.c:132-155)."""
+    _native_or_skip()
+    code = ("import sys, time\n"
+            "sys.stdout.buffer.write(bytes([int(sys.argv[1]) % 256]) * 65536)\n"
+            "sys.stdout.buffer.flush()\n"
+            "time.sleep(600)\n")
+    cmd = _py(code) + ["{freq}"]
+    src = load_source("exec", _exec_params(
+        1_000_000, "u8", "control=restart", "freq=3", cmd=cmd))
+    it = src.stream(32768)
+    first = next(it)
+    assert (first.samples == 3).all()
+    src.set_basefreq(9)
+    second = next(it)
+    assert (second.samples == 9).all()
+    src.stop()
+
+
+def test_exec_source_crash_isolation():
+    """A buggy producer can only kill its own process: the stream ends
+    cleanly and last_error carries the exit status + stderr tail — the
+    process-isolation replacement for ExtIO's VEH/longjmp hack
+    (TSDRPlugin_ExtIO.c:49-73)."""
+    _native_or_skip()
+    child = _py(
+        "import sys\n"
+        "sys.stdout.buffer.write(b'\\x05' * 16384); sys.stdout.buffer.flush()\n"
+        "sys.stderr.write('simulated hardware fault'); sys.exit(3)\n"
+    )
+    src = load_source("exec", _exec_params(1_000_000, "u8", cmd=child))
+    blocks = list(src.stream(8192))  # 16384 bytes = exactly 1 block
+    assert len(blocks) == 1
+    assert (blocks[0].samples == 5).all()
+    assert "rc=3" in src.last_error()
+    assert "simulated hardware fault" in src.last_error()
+
+
+def test_exec_i24_conversion():
+    """24-bit LE signed PCM -> f32 (the ExtIO exthwUSBdata24 conversion,
+    TSDRPlugin_ExtIO.c:125-155): golden unit vectors + end-to-end."""
+    from tempestsdr_tpu.sources.subproc import _i24le_to_f32
+
+    raw = bytes([
+        0x01, 0x00, 0x00,   # +1 -> 1/2^23
+        0xFF, 0xFF, 0xFF,   # -1 -> -1/2^23
+        0x00, 0x00, 0x80,   # -2^23 -> -1.0
+        0xFF, 0xFF, 0x7F,   # 2^23-1
+    ])
+    got = _i24le_to_f32(raw)
+    expect = np.array([1, -1, -(1 << 23), (1 << 23) - 1],
+                      np.float32) / np.float32(1 << 23)
+    assert np.array_equal(got, expect)
+
+    _native_or_skip()
+    n = 4096  # samples -> 2*n*3 bytes per block
+    child = _py(
+        "import sys\n"
+        f"sys.stdout.buffer.write(bytes([0x00, 0x00, 0x80]) * (2 * {n}))\n"
+    )
+    src = load_source("exec", _exec_params(1_000_000, "i24", cmd=child))
+    assert src.block_dtype() == np.float32
+    blk = next(iter(src.stream(n)))
+    assert blk.samples.dtype == np.float32
+    assert (blk.samples == -1.0).all()
+    src.stop()
+
+
+def test_exec_source_session_end_to_end(tmp_path):
+    """A third-party producer (a process replaying a capture) drives a full
+    Session to frames — the ExtIO capability demonstrated on the real
+    pipeline."""
+    _native_or_skip()
+    from tempestsdr_tpu.config import PipelineConfig
+    from tempestsdr_tpu.params import Params
+    from tempestsdr_tpu.sources.synthetic import render_test_pattern, synth_iq
+    from tempestsdr_tpu.stream.session import Session, SessionCallbacks
+
+    lines, twidth, refresh, sr = 100, 200, 50.0, 1e6
+    raster = render_test_pattern(lines, twidth)
+    iq = synth_iq(raster, samplerate=sr, pixelclock=lines * twidth * refresh,
+                  n_samples=int(3 * sr / refresh), noise=0.01, dtype=np.uint8)
+    path = tmp_path / "capture.bin"
+    path.write_bytes(iq.tobytes())
+    child = _py(
+        "import sys\n"
+        f"sys.stdout.buffer.write(open({str(path)!r}, 'rb').read())\n"
+    )
+    src = load_source("exec", _exec_params(int(sr), "u8", cmd=child))
+    cfg = PipelineConfig(samplerate=sr, height=lines, refreshrate=refresh,
+                         block_samples=8192, autocorr=False)
+    frames = []
+    sess = Session(cfg, Params(framerate_pll=False), src,
+                   SessionCallbacks(on_frame=frames.append))
+    n = sess.run(max_frames=2)
+    assert n == 2
+    assert frames[0].shape == (lines, cfg.width)
+
+
+def test_exec_bad_params():
+    with pytest.raises(TSDRError):
+        load_source("exec", "1000000 u8")  # no -- command
+    with pytest.raises(TSDRError):
+        load_source("exec", "1000000 pcm -- cat")  # unknown format
+    with pytest.raises(TSDRError):
+        load_source("exec", "1000000 u8 control=telnet -- cat")
+    with pytest.raises(TSDRError):
+        load_source("exec", "notarate u8 -- cat")
