@@ -105,6 +105,15 @@ class RtlTcpSource(Source):
         self._freq = float(freq)
         self._send_cmd(CMD_SET_FREQ, int(round(freq)))
 
+    def set_freq_offset(self, offset_hz: float) -> None:
+        """Superband hop retune: tune the hardware to center+offset WITHOUT
+        touching the stored center (the reference's shiftfreq semantics,
+        TSDRLibrary.c:208-211) — offsets are absolute from one fixed center
+        and must never compound."""
+        if self._freq is None:
+            return
+        self._send_cmd(CMD_SET_FREQ, int(round(self._freq + offset_hz)))
+
     def set_gain(self, gain: float) -> None:
         self._gain = float(gain)
         self._send_cmd(CMD_SET_GAIN_MODE, 1)

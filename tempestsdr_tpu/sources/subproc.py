@@ -70,6 +70,24 @@ _FORMATS = {
 }
 
 
+class _TailBuffer:
+    """Thread-safe rolling byte tail (keeps only the most recent `limit`
+    bytes) — the sink for the continuous stderr drain."""
+
+    def __init__(self, limit: int):
+        self._lock = threading.Lock()
+        self._limit = limit
+        self._buf = b""
+
+    def feed(self, data: bytes) -> None:
+        with self._lock:
+            self._buf = (self._buf + data)[-self._limit:]
+
+    def get(self) -> bytes:
+        with self._lock:
+            return self._buf
+
+
 def _i24le_to_f32(raw: bytes) -> np.ndarray:
     """24-bit little-endian signed PCM -> f32 in [-1, 1) — the ExtIO
     24-bit conversion (TSDRPlugin_ExtIO.c:125-155 exthwUSBdata24 path)."""
@@ -91,13 +109,13 @@ class ExternalProcessSource(Source):
         self._ring_chunks = 64
         self._freq: Optional[float] = None
         self._gain: Optional[float] = None
+        self._freq_offset = 0.0
         self._argv_template: list[str] = []
         self._proc: Optional[subprocess.Popen] = None
         self._proc_lock = threading.Lock()
         self._running = False
         self._ring = None
         self._reader: Optional[threading.Thread] = None
-        self._stderr_tail = b""
         self._generation = 0
 
     # ---- plugin contract ----
@@ -152,11 +170,21 @@ class ExternalProcessSource(Source):
 
     def set_basefreq(self, freq: float) -> None:
         self._freq = float(freq)
-        self._apply_control(f"FREQ {int(round(freq))}\n")
+        self._freq_offset = 0.0  # absolute tune defines a new center
+        self._apply_control(f"FREQ {int(round(self._tuned_freq()))}\n")
 
     def set_freq_offset(self, offset_hz: float) -> None:
-        if self._freq is not None:
-            self.set_basefreq(self._freq + offset_hz)
+        """Relative retune around the IMMUTABLE center — the reference's
+        shiftfreq tunes to centfreq+diff without changing centfreq
+        (TSDRLibrary.c:208-211), so superband hops 0..N are all absolute
+        offsets from one fixed center and never compound."""
+        if self._freq is None:
+            return
+        self._freq_offset = float(offset_hz)
+        self._apply_control(f"FREQ {int(round(self._tuned_freq()))}\n")
+
+    def _tuned_freq(self) -> float:
+        return (self._freq or 0.0) + self._freq_offset
 
     def set_gain(self, gain: float) -> None:
         self._gain = max(0.0, min(1.0, float(gain)))
@@ -184,7 +212,8 @@ class ExternalProcessSource(Source):
 
     def _argv(self) -> list[str]:
         subst = {
-            "freq": str(int(round(self._freq))) if self._freq is not None else "0",
+            "freq": str(int(round(self._tuned_freq()))) if self._freq is not None
+            else "0",
             "gain": str(self._gain if self._gain is not None else 0.0),
             "rate": str(int(round(self._rate))),
         }
@@ -211,14 +240,32 @@ class ExternalProcessSource(Source):
             raise TSDRError(TSDRStatus.ERR_PLUGIN, self._err)
         self._proc = proc
         self._generation += 1
+        # Continuously drain stderr so a chatty producer (periodic stats on
+        # stderr) can never fill the ~64 KiB pipe and deadlock its stdout
+        # writes; only the last STDERR_TAIL bytes are kept for last_error.
+        tail = _TailBuffer(STDERR_TAIL)
+        threading.Thread(
+            target=self._drain_stderr, args=(proc, tail), daemon=True,
+        ).start()
         t = threading.Thread(
             target=self._read_loop,
-            args=(proc, self._ring, self._generation),
+            args=(proc, self._ring, self._generation, tail),
             daemon=True,
         )
         t.start()
         self._reader = t
         return proc
+
+    @staticmethod
+    def _drain_stderr(proc: subprocess.Popen, tail: "_TailBuffer") -> None:
+        try:
+            while True:
+                data = proc.stderr.read(4096)
+                if not data:
+                    break
+                tail.feed(data)
+        except (OSError, ValueError):
+            pass
 
     def _respawn_locked(self) -> None:
         """Retune-by-respawn (the Mirics device-reset fallback analog). The
@@ -242,10 +289,11 @@ class ExternalProcessSource(Source):
         except OSError:
             pass
 
-    def _read_loop(self, proc: subprocess.Popen, ring, generation: int) -> None:
+    def _read_loop(self, proc: subprocess.Popen, ring, generation: int,
+                   tail: "_TailBuffer") -> None:
         """stdout -> non-blocking ring writes; a full ring drops the chunk
         whole and counts it (same overflow semantics as sources/rtltcp.py).
-        On child exit, capture the stderr tail for last_error — the
+        On child exit, capture the drained stderr tail for last_error — the
         crash-isolation replacement for ExtIO's VEH/longjmp."""
         try:
             while self._running:
@@ -256,16 +304,19 @@ class ExternalProcessSource(Source):
         except (OSError, ValueError):
             pass
         finally:
+            # wait(timeout) instead of poll(): right after stdout EOF the
+            # child may not be reaped yet and poll() returns None, losing
+            # the rc; the bounded wait also covers a child that closed
+            # stdout but lingers (never block ring.close on it).
             try:
-                err = proc.stderr.read(STDERR_TAIL) if proc.stderr else b""
+                rc = proc.wait(timeout=3)
+            except (subprocess.TimeoutExpired, OSError):
                 rc = proc.poll()
-                if rc not in (None, 0) and self._running:
-                    tail = err.decode("utf-8", "replace").strip()
-                    self._err = f"source process exited rc={rc}" + (
-                        f": {tail[-500:]}" if tail else ""
-                    )
-            except (OSError, ValueError):
-                pass
+            if rc not in (None, 0) and self._running:
+                text = tail.get().decode("utf-8", "replace").strip()
+                self._err = f"source process exited rc={rc}" + (
+                    f": {text[-500:]}" if text else ""
+                )
             # only the CURRENT child's EOF ends the stream (a respawned-away
             # child must not close the shared ring)
             with self._proc_lock:
@@ -289,8 +340,16 @@ class ExternalProcessSource(Source):
                                   4 * block_bytes))
         self._ring = ring
         self._running = True
-        with self._proc_lock:
-            self._spawn_locked()
+        try:
+            with self._proc_lock:
+                self._spawn_locked()
+        except TSDRError:
+            # failed spawn must not leak the native ring or leave the source
+            # looking alive for a retry
+            self._running = False
+            self._ring = None
+            ring.close()
+            raise
         try:
             pending_bytes = 0
             while self._running:

@@ -592,3 +592,135 @@ def test_exec_bad_params():
         load_source("exec", "1000000 u8 control=telnet -- cat")
     with pytest.raises(TSDRError):
         load_source("exec", "notarate u8 -- cat")
+
+
+def test_exec_freq_offset_absolute_from_center():
+    """set_freq_offset must tune to center+offset with an IMMUTABLE center
+    (shiftfreq semantics, TSDRLibrary.c:208-211): repeated equal offsets —
+    the superband hop pattern — must NOT compound, and offset 0 must return
+    to the center."""
+    _native_or_skip()
+    child = _py(
+        "import sys\n"
+        "w = sys.stdout.buffer\n"
+        "w.write(b'\\x01' * 65536); w.flush()\n"
+        "for line in sys.stdin:\n"
+        "    t = line.split()\n"
+        "    if t and t[0] == 'FREQ':\n"
+        "        w.write(bytes([int(t[1]) % 256]) * 65536); w.flush()\n"
+    )
+    src = load_source("exec", _exec_params(
+        1_000_000, "u8", "control=stdin", cmd=child))
+    it = src.stream(32768)  # block = 65536 bytes
+    assert (next(it).samples == 1).all()
+    src.set_basefreq(100)
+    assert (next(it).samples == 100).all()
+    src.set_freq_offset(10)
+    assert (next(it).samples == 110).all()
+    src.set_freq_offset(10)  # same hop again: absolute, not compounding
+    assert (next(it).samples == 110).all()
+    src.set_freq_offset(0)  # hop home
+    assert (next(it).samples == 100).all()
+    src.stop()
+
+
+def test_exec_freq_offset_respawn_argv():
+    """control=restart: the {freq} placeholder is substituted with
+    center+offset, and a later absolute retune resets the offset."""
+    _native_or_skip()
+    code = ("import sys, time\n"
+            "sys.stdout.buffer.write(bytes([int(sys.argv[1]) % 256]) * 65536)\n"
+            "sys.stdout.buffer.flush()\n"
+            "time.sleep(600)\n")
+    cmd = _py(code) + ["{freq}"]
+    src = load_source("exec", _exec_params(
+        1_000_000, "u8", "control=restart", "freq=50", cmd=cmd))
+    it = src.stream(32768)
+    assert (next(it).samples == 50).all()
+    src.set_freq_offset(25)
+    assert (next(it).samples == 75).all()
+    src.set_freq_offset(25)  # not 100 — offsets are from the fixed center
+    assert (next(it).samples == 75).all()
+    src.set_basefreq(200)  # absolute tune: new center, offset cleared
+    assert (next(it).samples == 200).all()
+    src.stop()
+
+
+def test_exec_chatty_stderr_drained():
+    """A producer spamming stderr (hackrf_transfer-style periodic stats) must
+    not wedge: without a continuous drain the child blocks on a full stderr
+    pipe (~64 KiB) before ever producing stdout. Also checks the rc and the
+    ROLLING tail (the final message survives 200 KiB of earlier noise)."""
+    import threading
+
+    _native_or_skip()
+    child = _py(
+        "import sys\n"
+        "for i in range(200):\n"
+        "    sys.stderr.write('stat line %d\\n' % i + 'x' * 1000)\n"
+        "sys.stderr.flush()\n"
+        "sys.stdout.buffer.write(b'\\x02' * 16384); sys.stdout.buffer.flush()\n"
+        "sys.stderr.write('final diagnostic')\n"
+        "sys.exit(9)\n"
+    )
+    src = load_source("exec", _exec_params(1_000_000, "u8", cmd=child))
+    result = {}
+
+    def run():
+        result["blocks"] = list(src.stream(8192))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "stream wedged on undrained stderr"
+    assert len(result["blocks"]) == 1
+    assert (result["blocks"][0].samples == 2).all()
+    assert "rc=9" in src.last_error()
+    assert "final diagnostic" in src.last_error()
+
+
+def test_exec_spawn_failure_resets_state():
+    """A failed spawn must close the native ring and leave the source
+    stopped (not half-running) so a retry starts clean."""
+    _native_or_skip()
+    src = load_source("exec", _exec_params(
+        1_000_000, "u8", cmd=["/nonexistent/binary/for/this/test"]))
+    with pytest.raises(TSDRError):
+        next(iter(src.stream(4096)))
+    assert src._running is False
+    assert src._ring is None
+    # a second attempt fails the same clean way (no stale-state crash)
+    with pytest.raises(TSDRError):
+        next(iter(src.stream(4096)))
+
+
+def test_rtltcp_freq_offset_absolute_from_center():
+    """rtltcp set_freq_offset: CMD_SET_FREQ at center+offset, stored center
+    untouched (superband hops must not compound)."""
+    import time
+
+    from tempestsdr_tpu import native as native_io
+    from tempestsdr_tpu.sources.base import load_source
+    from tempestsdr_tpu.sources.rtltcp import CMD_SET_FREQ
+
+    if not native_io.available():
+        pytest.skip("native IO runtime unavailable")
+    server = FakeRtlTcpServer(bytes(range(256)) * 1024)
+    try:
+        src = load_source(
+            "rtltcp", f"127.0.0.1 {server.port} 1000000 freq=433000000")
+        it = src.stream(4096)
+        next(it)
+        src.set_freq_offset(1_000_000)
+        src.set_freq_offset(1_000_000)  # same hop twice -> same tune
+        src.set_freq_offset(0)
+        deadline = time.time() + 5
+        while (sum(1 for c, _ in server.commands if c == CMD_SET_FREQ) < 4
+               and time.time() < deadline):
+            time.sleep(0.05)
+        src.stop()
+    finally:
+        server.stop()
+    freqs = [v for c, v in server.commands if c == CMD_SET_FREQ]
+    assert freqs == [433_000_000, 434_000_000, 434_000_000, 433_000_000]
+    assert src._freq == 433_000_000
