@@ -84,12 +84,6 @@ class PipelineConfig:
             raise ValueError("invalid samplerate")
         if self.width * self.height > MAX_ARR_SIZE:
             raise ValueError("frame too large")
-        if self.max_block_pixels + self.resample_taps >= self.frame_pixels:
-            raise ValueError(
-                f"block_samples={self.block_samples} can complete more than one "
-                f"frame per step (max_block_pixels={self.max_block_pixels} vs "
-                f"frame_pixels={self.frame_pixels}); use a smaller block"
-            )
 
     # ---- geometry (TSDRLibrary.c:540-550) ----
 
@@ -126,6 +120,18 @@ class PipelineConfig:
     def resample_taps(self) -> int:
         """Input samples a single output pixel's box window can span."""
         return int(math.ceil(self.samples_per_pixel * 1.02)) + 1
+
+    @property
+    def frames_per_block(self) -> int:
+        """Static upper bound K on whole frames completed per step.
+
+        K == 1 reproduces the round-1..3 single-emit step bit-exactly
+        (max_block_pixels + taps < frame_pixels — the old hard limit). K > 1
+        builds the multi-emit step: big blocks amortize the measured ~0.5 ms
+        per-block fixed cost (scan floor + cond plumbing + per-kernel
+        launches, ROOFLINE.md) across several frames, which is the lever the
+        round-3 block-size sweep hit the one-frame wall on."""
+        return 1 + (self.max_block_pixels + self.resample_taps) // self.frame_pixels
 
     # ---- autocorrelation estimator (frameratedetector.c) ----
 

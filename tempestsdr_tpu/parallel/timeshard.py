@@ -49,6 +49,12 @@ def _make_body(config: PipelineConfig, params: Params, T: int):
     {ch, time} grid)."""
     if params.nearest_neighbour:
         raise NotImplementedError("time-sharded NN resampling not implemented")
+    if config.frames_per_block > 1:
+        raise ValueError(
+            "time-sharded step supports one frame per block (the wideband "
+            "config shards a sub-frame block across devices; raise T or "
+            "shrink block_samples)"
+        )
     n = config.block_samples
     if n % T:
         raise ValueError("block_samples must divide by the time-axis size")

@@ -115,11 +115,15 @@ class MultiSession:
                 blocks += 1
                 fv = np.asarray(out.frame_valid)
                 pv = np.asarray(out.ac_plot_valid)
-                for c in np.nonzero(fv)[0]:
-                    self.frames_total[int(c)] += 1
+                # fv is (C,) for one-frame-per-block geometries, (C, K) for
+                # multi-emit steps (config.frames_per_block > 1)
+                for idx in np.argwhere(fv):
+                    c = int(idx[0])
+                    self.frames_total[c] += 1
                     frames += 1
                     if self.on_frame:
-                        self.on_frame(int(c), np.asarray(out.frame[int(c)]))
+                        fr = out.frame[c] if fv.ndim == 1 else out.frame[c, int(idx[1])]
+                        self.on_frame(c, np.asarray(fr))
                 if self.on_plot and pv.any():
                     from ..events import PLOT_ID, PlotEvent
 

@@ -495,6 +495,68 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
         framebuf, fill2, screen, ag, sx, sy, pll, motionblur = ops
         return ops, jnp.zeros((h, w), jnp.float32)
 
+    def emit_slot_fn(k):
+        """Multi-emit: post-process frame slot k (framebuf[k*fp:(k+1)*fp])
+        WITHOUT shifting the buffer (one shift for all emitted slots happens
+        at the end of emit_chain). Post-process carries (screen IIR, autogain,
+        sync, PLL) chain through the slots in stream order."""
+
+        def fn(ops):
+            framebuf, fill2, screen, ag, sx, sy, pll, motionblur = ops
+            frame2d = lax.slice_in_dim(
+                framebuf, k * frame_pixels, (k + 1) * frame_pixels
+            ).reshape(h, w)
+            result, screen, ag, sx, sy, pll = _post_process(
+                config, params, frame2d, screen, ag, sx, sy, pll, motionblur
+            )
+            return (framebuf, fill2, screen, ag, sx, sy, pll, motionblur), result
+
+        return fn
+
+    k_frames = config.frames_per_block
+
+    def emit_chain(ops):
+        """Run the per-frame post-process for every frame completed this
+        block and shift the fold buffer once. `ops` is an emit_ops_of tuple
+        (fill2 rides at ops[1]); returns (ops', frames, valid).
+
+        K == 1 (every round-1..3 geometry): the original single
+        cond(emit_fn) — bit-identical program, scalar frame_valid and
+        (h, w) frame output.
+
+        K > 1 (block spans multiple frames): K gated emit slots in stream
+        order — slot k fires when fill2 >= (k+1)*frame_pixels, each
+        post-processing a static framebuf window with the carried state
+        chained through — then ONE leftover move of fp pixels from
+        emitted*fp to the front (gated on emitted > 0). Returns a (K, h, w)
+        frame stack and a (K,) valid mask."""
+        fill2 = ops[1]
+        if k_frames == 1:
+            emit = fill2 >= frame_pixels
+            emit_ops, frame = lax.cond(emit, emit_fn, no_emit_fn, ops)
+            return emit_ops, frame, emit
+        frames, valids = [], []
+        for k in range(k_frames):
+            ek = fill2 >= (k + 1) * frame_pixels
+            ops, fk = lax.cond(ek, emit_slot_fn(k), no_emit_fn, ops)
+            frames.append(fk)
+            valids.append(ek)
+        valid = jnp.stack(valids)
+        emitted = jnp.sum(valid, dtype=jnp.int32)
+        framebuf, fill2, screen, ag, sx, sy, pll, motionblur = ops
+
+        def do_shift(fb):
+            # leftover (< fp pixels) + unobservable slack to the front; the
+            # buffer is sized (K+1)*fp so the fp-length read at emitted*fp
+            # (emitted <= K) never clamps (state.framebuf_len)
+            src = lax.dynamic_slice(fb, (emitted * frame_pixels,), (frame_pixels,))
+            return lax.dynamic_update_slice(fb, src, (0,))
+
+        framebuf = lax.cond(emitted > 0, do_shift, lambda fb: fb, framebuf)
+        emit_ops = (framebuf, fill2 - emitted * frame_pixels, screen, ag,
+                    sx, sy, pll, motionblur)
+        return emit_ops, jnp.stack(frames), valid
+
     def emit_ops_of(state: StreamState, inter):
         ag = (state.ag_min, state.ag_max, state.ag_snr)
         return (
@@ -517,10 +579,15 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
             state.ac_last_full,
         )
 
-    def assemble(state: StreamState, inter, ac_ops, emit_ops, frame_out):
+    def assemble(state: StreamState, inter, ac_ops, emit_ops, frame_out,
+                 frame_valid=None):
         ac_buf, ac_avg_frame, ac_avg_line, ac_calls, ac_last_full = ac_ops
         framebuf, fill, screen, ag, sync_x, sync_y, pll, _mb = emit_ops
-        emit = inter["emit"]
+        emit = inter["emit"] if frame_valid is None else frame_valid
+        n_emitted = (
+            emit.astype(jnp.int32) if emit.ndim == 0
+            else jnp.sum(emit, dtype=jnp.int32)
+        )
         new_state = StreamState(
             phase_fix=inter["phase2"],
             tail=inter["new_tail"],
@@ -535,8 +602,8 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
             sync_x=sync_x,
             sync_y=sync_y,
             pll=pll,
-            runs=state.runs + emit.astype(jnp.int32),
-            frame_count=state.frame_count + emit.astype(jnp.int64),
+            runs=state.runs + n_emitted,
+            frame_count=state.frame_count + n_emitted.astype(jnp.int64),
             ac_buf=ac_buf,
             ac_fill=inter["ac_fill"],
             ac_avg_frame=ac_avg_frame,
@@ -562,7 +629,8 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
         )
         return new_state, outputs
 
-    return pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble
+    return (pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of,
+            assemble, emit_chain)
 
 
 def make_step(config: PipelineConfig, params: Params, batched: bool = False):
@@ -574,9 +642,8 @@ def make_step(config: PipelineConfig, params: Params, batched: bool = False):
     batched=True when the caller will vmap this step (forces the XLA
     resampler forms; the Mosaic kernel cannot lower under vmap).
     """
-    pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble = (
-        _make_step_parts(config, params, batched=batched)
-    )
+    (pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of,
+     assemble, emit_chain) = _make_step_parts(config, params, batched=batched)
     run_autocorr = config.autocorr and not params.autocorr_plots_off
 
     def step(state: StreamState, raw, controls: StepControls):
@@ -584,10 +651,8 @@ def make_step(config: PipelineConfig, params: Params, batched: bool = False):
         ac_ops = ac_ops_of(state, inter)
         if run_autocorr:
             ac_ops = lax.cond(inter["round_done"], ac_round_fn, lambda o: o, ac_ops)
-        emit_ops, frame_out = lax.cond(
-            inter["emit"], emit_fn, no_emit_fn, emit_ops_of(state, inter)
-        )
-        return assemble(state, inter, ac_ops, emit_ops, frame_out)
+        emit_ops, frame_out, fvalid = emit_chain(emit_ops_of(state, inter))
+        return assemble(state, inter, ac_ops, emit_ops, frame_out, fvalid)
 
     return step
 
@@ -614,9 +679,13 @@ def make_channels_step(config: PipelineConfig, params: Params, n_channels: int =
     drop-induced desync too, at the cost of running the body for all
     channels whenever any one fires).
     """
-    pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble = (
-        _make_step_parts(config, params, batched=True)
-    )
+    if config.frames_per_block > 1:
+        raise ValueError(
+            "make_channels_step supports one frame per block; use "
+            "make_channels_step_hybrid/unrolled for multi-frame blocks"
+        )
+    (pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of,
+     assemble, _emit_chain) = _make_step_parts(config, params, batched=True)
     run_autocorr = config.autocorr and not params.autocorr_plots_off
 
     def step(states: StreamState, raws, controls: StepControls):
@@ -715,8 +784,14 @@ def make_channels_step_hybrid(config: PipelineConfig, params: Params,
     """
     if cond_mode not in ("batched", "unrolled"):
         raise ValueError(f"unknown cond_mode {cond_mode!r}")
-    pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of, assemble = (
-        _make_step_parts(config, params, batched=False, ac_write_external=True)
+    if cond_mode == "batched" and config.frames_per_block > 1:
+        raise ValueError(
+            "cond_mode='batched' supports one frame per block; use the "
+            "default cond_mode='unrolled' for multi-frame blocks"
+        )
+    (pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of,
+     assemble, emit_chain) = _make_step_parts(
+        config, params, batched=False, ac_write_external=True
     )
     run_autocorr = config.autocorr and not params.autocorr_plots_off
 
@@ -786,7 +861,7 @@ def make_channels_step_hybrid(config: PipelineConfig, params: Params,
                 jnp.any(em), do_emit_all, lambda o: (o, zero_frames), e_ops
             )
         else:  # real per-channel conds on per-channel slices
-            acs, emits, frames_l = [], [], []
+            acs, emits, frames_l, valids_l = [], [], [], []
             for c in range(n_channels):
                 ac_c = jax.tree.map(lambda x: x[c], ac_ops)
                 if run_autocorr:
@@ -794,20 +869,23 @@ def make_channels_step_hybrid(config: PipelineConfig, params: Params,
                                     lambda o: o, ac_c)
                 acs.append(ac_c)
                 e_c = jax.tree.map(lambda x: x[c], e_ops)
-                e_c, f_c = lax.cond(em[c], emit_fn, no_emit_fn, e_c)
+                e_c, f_c, v_c = emit_chain(e_c)
                 emits.append(e_c)
                 frames_l.append(f_c)
+                valids_l.append(v_c)
             stack = lambda *xs: jnp.stack(xs)
             ac_ops = jax.tree.map(stack, *acs)
             emit_ops = jax.tree.map(stack, *emits)
             frames = jnp.stack(frames_l)
+            valids = jnp.stack(valids_l)
 
         if cond_mode == "batched":
             return jax.vmap(assemble)(states, inter, ac_ops, emit_ops, frames)
         news, outs = [], []
         for c in range(n_channels):
             st2, out = assemble(*jax.tree.map(
-                lambda x: x[c], (states, inter, ac_ops, emit_ops, frames)))
+                lambda x: x[c],
+                (states, inter, ac_ops, emit_ops, frames, valids)))
             news.append(st2)
             outs.append(out)
         stack = lambda *xs: jnp.stack(xs)

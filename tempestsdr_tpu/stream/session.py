@@ -420,7 +420,7 @@ class Session:
                     for i in range(self.batch_blocks):
                         out = jax.tree.map(lambda x: x[i], small)
                         out = out._replace(
-                            frame=outs.frame[i] if fv[i] else None,
+                            frame=outs.frame[i] if np.any(fv[i]) else None,
                             ac_frame_plot=outs.ac_frame_plot[i] if pv[i] else None,
                             ac_line_plot=outs.ac_line_plot[i] if pv[i] else None,
                         )
@@ -558,16 +558,27 @@ class Session:
 
     def _dispatch(self, out) -> int:
         """Convert StepOutputs into the reference's callback streams.
-        Returns 1 if a frame was emitted."""
-        got_frame = bool(out.frame_valid)
+        Returns the number of frames emitted (> 1 only for multi-emit steps,
+        config.frames_per_block > 1, where frame_valid is a (K,) slot mask
+        and frame a (K, H, W) stack; value events carry the block-final
+        PLL/autogain state for every frame of the block)."""
+        fv = np.asarray(out.frame_valid)
+        if fv.ndim == 0:
+            emitted = [out.frame] if fv else []
+        elif out.frame is None:
+            emitted = []
+        else:
+            emitted = [out.frame[k] for k in np.flatnonzero(fv)]
+        got_frame = bool(emitted)
         if got_frame:
-            if self.callbacks.on_frame:
-                self.callbacks.on_frame(np.asarray(out.frame))
             rr = float(out.refreshrate)
             changed = rr != self._last_refresh
             self._last_refresh = rr  # thread-safe mirror for off-thread reads
             if self.params.framerate_pll and changed:
                 self._emit_value(ValueEvent(VALUE_ID.PLL_FRAMERATE, rr, 0))
+        for fr in emitted:
+            if self.callbacks.on_frame:
+                self.callbacks.on_frame(np.asarray(fr))
             # reference cadence quirk (dsp.c:231-235 `runs++ > 5`): the
             # pre-increment compare makes the first report land on frame 7
             # and repeat every 7 frames, not every 5 — match it exactly
@@ -594,4 +605,4 @@ class Session:
             self._emit_value(
                 ValueEvent(VALUE_ID.AUTOCORRECT_FRAMES_COUNT, 0, int(out.ac_calls))
             )
-        return 1 if got_frame else 0
+        return len(emitted)

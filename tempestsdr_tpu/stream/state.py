@@ -30,7 +30,7 @@ class StreamState(NamedTuple):
     skip_pixels: jnp.ndarray  # i32 — manual-sync pixel skip (mod frame)
     # --- frame fold ---
     fill: jnp.ndarray  # i32 — write position within current frame
-    framebuf: jnp.ndarray  # f32[frame_pixels + max_pix]
+    framebuf: jnp.ndarray  # f32[framebuf_len(config)]
     # --- post-processing ---
     screenbuffer: jnp.ndarray  # f32[H, W] — motion-blur IIR state
     ag_min: jnp.ndarray  # f32
@@ -54,8 +54,10 @@ class StreamState(NamedTuple):
 
 
 class StepOutputs(NamedTuple):
-    frame: jnp.ndarray  # f32[H, W]
-    frame_valid: jnp.ndarray  # bool — a frame completed this step
+    frame: jnp.ndarray  # f32[H, W] (config.frames_per_block == 1) or
+    # f32[K, H, W] (multi-emit step: up to K frames per block)
+    frame_valid: jnp.ndarray  # bool — a frame completed this step; (K,) mask
+    # of completed frame slots for the multi-emit step
     n_pixels: jnp.ndarray  # i32 — resampled pixels produced this step
     # value-callback channel (TSDRLibrary.h:45-50)
     refreshrate: jnp.ndarray  # f32 — nominal + PLL delta (VALUE_ID_PLL_FRAMERATE)
@@ -72,6 +74,16 @@ class StepOutputs(NamedTuple):
     ac_calls: jnp.ndarray  # i32 (VALUE_ID_AUTOCORRECT_FRAMES_COUNT)
 
 
+def framebuf_len(config: PipelineConfig) -> int:
+    """Fold-buffer length. K == 1: frame + one block's pixels (the original
+    layout, bit-compatible with round-1..3 checkpoints). K > 1: must also
+    cover the multi-emit shift's fp-length read at offset emitted*fp
+    (emitted <= K), i.e. (K+1)*fp."""
+    fp, mp = config.frame_pixels, config.max_block_pixels
+    k = config.frames_per_block
+    return fp + mp if k == 1 else max(fp + mp, (k + 1) * fp)
+
+
 def init_state(config: PipelineConfig, fir_ntaps: int = 0) -> StreamState:
     h, w = config.height, config.width
     fw = config.ac_frame_window[1] if config.autocorr else 1
@@ -83,7 +95,7 @@ def init_state(config: PipelineConfig, fir_ntaps: int = 0) -> StreamState:
         fir_tail=jnp.zeros((max(fir_ntaps - 1, 1),), jnp.float32),
         skip_pixels=jnp.int32(0),
         fill=jnp.int32(0),
-        framebuf=jnp.zeros((config.frame_pixels + config.max_block_pixels,), jnp.float32),
+        framebuf=jnp.zeros((framebuf_len(config),), jnp.float32),
         screenbuffer=jnp.zeros((h, w), jnp.float32),
         ag_min=jnp.float32(0),
         ag_max=jnp.float32(0),
