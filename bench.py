@@ -568,7 +568,7 @@ class BenchRunner:
         print(f"# config4 wideband@64MS/s: {r}", file=sys.stderr)
         return r
 
-    def config5_channels(self, n_channels: int, block: int = 258048):
+    def config5_channels(self, n_channels: int, block: int = 786432):
         """n independent 16 MS/s emitters on one chip.
 
         Default step: the round-3 HYBRID channels step (unrolled per-channel
@@ -580,7 +580,14 @@ class BenchRunner:
         before an error can be recorded, so the attempt is FLAGGED in the
         partial file first — a respawned child sees the dangling hybrid
         marker and falls back to the fully-unrolled step (the round-2 TPU
-        workhorse, 290.2 MS/s in the same probe session)."""
+        workhorse, 290.2 MS/s in the same probe session).
+
+        block 786432 (K = 4 frames/block via the round-4 multi-emit step):
+        the 8 unrolled per-channel chains each pay the per-block fixed cost,
+        so amortizing it wins monotonically — 304.9 -> 314.0 -> 325.0 MS/s
+        aggregate for 258048/528384/786432 in one session
+        (bench/ROUND4_PROBE.json); 786432 is the ceiling with the estimator
+        on (ac_round = 901818 samples at 16 MS/s)."""
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -625,17 +632,20 @@ class BenchRunner:
         )
 
         sr = 16e6
-        # block: any value < one frame of samples (266,667 at this geometry;
-        # 261,333 at the PLL's 2% clamp) keeps the <=1-frame-boundary-per-
-        # step contract; 258048 = 63*4096 is the largest 4096-multiple under
-        # the clamp and measured +4.1% over round-2's 245760
-        # (bench/ROUND3_PROBE2.json channels:hybrid-unrolled-block-258048)
-        K, M = (4, 2) if self.quick else (16, 4)
+        # block: must stay under ac_round (901818 samples at 16 MS/s); the
+        # multi-emit step (round 4) lifted the old one-frame ceiling, and the
+        # block sweep (bench/ROUND4_PROBE.json) made 786432 (K=4, 4096-
+        # multiple for the Mosaic kernel) the measured best
+        K, M = (2, 2) if self.quick else (12, 4)
         cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
                             block_samples=block)
-        maker = (make_channels_step_hybrid if kind == "hybrid"
-                 else make_channels_step_unrolled)
-        step = maker(cfg, Params(), n_channels)
+        if kind == "hybrid":
+            # stacked cross-channel demod: one pairing-matmul call for all
+            # channels (bit-exact; A/B in bench/ROUND4_PROBE2.json)
+            step = make_channels_step_hybrid(cfg, Params(), n_channels,
+                                             demod_mode="stacked")
+        else:
+            step = make_channels_step_unrolled(cfg, Params(), n_channels)
         ctrl = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (n_channels,) + x.shape),
             StepControls.default(),

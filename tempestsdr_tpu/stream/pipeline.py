@@ -269,7 +269,8 @@ def _post_process(config: PipelineConfig, params: Params, frame2d, screen, ag, s
 
 
 def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = False,
-                     ac_write_external: bool = False):
+                     ac_write_external: bool = False,
+                     env_external: bool = False):
     """The per-block step split into pure composable pieces:
 
       pre(state, raw, controls) -> Intermediates   (all per-sample work, no
@@ -346,7 +347,13 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
             )
             new_tail = env[n - taps:]
         else:
-            env = am_demod(normalize_iq(raw))  # f32[n] — the MXU
+            if env_external:
+                # multi-channel caller demodulated ALL channels in one
+                # stacked pairing-matmul call (kernel-launch amortization);
+                # `raw` here is this channel's f32 envelope
+                env = raw
+            else:
+                env = am_demod(normalize_iq(raw))  # f32[n] — the MXU
             # pairing-matmul demod; the u16-bitcast form
             # (demod_raw_interleaved) measured 2.3x SLOWER standalone on the
             # VPU (bench/REGRESS_PROFILE.json) but wins when fused into the
@@ -495,24 +502,6 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
         framebuf, fill2, screen, ag, sx, sy, pll, motionblur = ops
         return ops, jnp.zeros((h, w), jnp.float32)
 
-    def emit_slot_fn(k):
-        """Multi-emit: post-process frame slot k (framebuf[k*fp:(k+1)*fp])
-        WITHOUT shifting the buffer (one shift for all emitted slots happens
-        at the end of emit_chain). Post-process carries (screen IIR, autogain,
-        sync, PLL) chain through the slots in stream order."""
-
-        def fn(ops):
-            framebuf, fill2, screen, ag, sx, sy, pll, motionblur = ops
-            frame2d = lax.slice_in_dim(
-                framebuf, k * frame_pixels, (k + 1) * frame_pixels
-            ).reshape(h, w)
-            result, screen, ag, sx, sy, pll = _post_process(
-                config, params, frame2d, screen, ag, sx, sy, pll, motionblur
-            )
-            return (framebuf, fill2, screen, ag, sx, sy, pll, motionblur), result
-
-        return fn
-
     k_frames = config.frames_per_block
 
     def emit_chain(ops):
@@ -535,24 +524,45 @@ def _make_step_parts(config: PipelineConfig, params: Params, batched: bool = Fal
             emit = fill2 >= frame_pixels
             emit_ops, frame = lax.cond(emit, emit_fn, no_emit_fn, ops)
             return emit_ops, frame, emit
+        # The framebuf ((K+1)*fp — tens of MB at wideband geometry) must NOT
+        # ride the slot conds' carry: a cond may copy its operands in/out,
+        # and K conds x 2 copies of the big buffer swamps the win big blocks
+        # exist for. Each slot's fp window is sliced OUTSIDE its cond and
+        # passed as a read-only operand; only the small post-process state
+        # (+ the frame-sized screen IIR, which emit must update) is carried.
+        framebuf, fill2, screen, ag, sx, sy, pll, motionblur = ops
+        carry = (screen, ag, sx, sy, pll)
+
+        def do_emit(c, w2d):
+            screen, ag, sx, sy, pll = c
+            result, screen, ag, sx, sy, pll = _post_process(
+                config, params, w2d, screen, ag, sx, sy, pll, motionblur
+            )
+            return (screen, ag, sx, sy, pll), result
+
+        def skip_emit(c, w2d):
+            return c, jnp.zeros((h, w), jnp.float32)
+
         frames, valids = [], []
         for k in range(k_frames):
             ek = fill2 >= (k + 1) * frame_pixels
-            ops, fk = lax.cond(ek, emit_slot_fn(k), no_emit_fn, ops)
+            window = lax.slice_in_dim(
+                framebuf, k * frame_pixels, (k + 1) * frame_pixels
+            ).reshape(h, w)
+            carry, fk = lax.cond(ek, do_emit, skip_emit, carry, window)
             frames.append(fk)
             valids.append(ek)
         valid = jnp.stack(valids)
         emitted = jnp.sum(valid, dtype=jnp.int32)
-        framebuf, fill2, screen, ag, sx, sy, pll, motionblur = ops
-
-        def do_shift(fb):
-            # leftover (< fp pixels) + unobservable slack to the front; the
-            # buffer is sized (K+1)*fp so the fp-length read at emitted*fp
-            # (emitted <= K) never clamps (state.framebuf_len)
-            src = lax.dynamic_slice(fb, (emitted * frame_pixels,), (frame_pixels,))
-            return lax.dynamic_update_slice(fb, src, (0,))
-
-        framebuf = lax.cond(emitted > 0, do_shift, lambda fb: fb, framebuf)
+        # leftover (< fp pixels) + unobservable slack to the front,
+        # unconditionally (emitted == 0 copies [0, fp) onto itself — one fp
+        # pass is cheaper than carrying the buffer through a cond). The
+        # buffer is sized (K+1)*fp so the read at emitted*fp never clamps
+        # (state.framebuf_len).
+        src = lax.dynamic_slice(framebuf, (emitted * frame_pixels,),
+                                (frame_pixels,))
+        framebuf = lax.dynamic_update_slice(framebuf, src, (0,))
+        screen, ag, sx, sy, pll = carry
         emit_ops = (framebuf, fill2 - emitted * frame_pixels, screen, ag,
                     sx, sy, pll, motionblur)
         return emit_ops, jnp.stack(frames), valid
@@ -755,7 +765,8 @@ def make_channels_step_unrolled(config: PipelineConfig, params: Params,
 
 
 def make_channels_step_hybrid(config: PipelineConfig, params: Params,
-                              n_channels: int, *, cond_mode: str = "unrolled"):
+                              n_channels: int, *, cond_mode: str = "unrolled",
+                              demod_mode: str = "per-channel"):
     """Round-3 multi-channel step: the best of the unrolled and vmapped forms.
 
       - per-sample work (`pre`) is UNROLLED per channel with batched=False —
@@ -779,6 +790,13 @@ def make_channels_step_hybrid(config: PipelineConfig, params: Params,
         program class the round-2 runtime regression makes fragile — it
         stays as an A/B variant for future runtimes.
 
+      - demod_mode="stacked" demodulates ALL channels' raw blocks in one
+        normalize + pairing-matmul call before the per-channel pre chains
+        (bit-identical — flattening keeps each channel's I/Q pair alignment;
+        amortizes C-1 kernel launches). "per-channel" keeps the demod inside
+        each chain; resampler="fused" forces per-channel (the fused kernel
+        consumes raw bytes).
+
     Same stacked-state signature and bit-identical outputs as
     make_channels_step / make_channels_step_unrolled (equivalence-tested).
     """
@@ -789,18 +807,31 @@ def make_channels_step_hybrid(config: PipelineConfig, params: Params,
             "cond_mode='batched' supports one frame per block; use the "
             "default cond_mode='unrolled' for multi-frame blocks"
         )
+    if demod_mode not in ("per-channel", "stacked"):
+        raise ValueError(f"unknown demod_mode {demod_mode!r}")
+    stacked_demod = demod_mode == "stacked" and params.resampler != "fused"
     (pre, ac_round_fn, emit_fn, no_emit_fn, emit_ops_of, ac_ops_of,
      assemble, emit_chain) = _make_step_parts(
-        config, params, batched=False, ac_write_external=True
+        config, params, batched=False, ac_write_external=True,
+        env_external=stacked_demod,
     )
     run_autocorr = config.autocorr and not params.autocorr_plots_off
 
     def cstep(states: StreamState, raws, controls: StepControls):
+        if stacked_demod:
+            # ONE normalize+pairing-matmul demod over all channels' raw
+            # blocks (flattening preserves per-channel pair alignment: each
+            # row of the (C, 2n) stack is a 256-multiple) — bit-identical to
+            # C separate calls, amortizes the per-channel kernel launches
+            feed = am_demod(normalize_iq(raws.reshape(-1))).reshape(
+                n_channels, -1)
+        else:
+            feed = raws
         inters = []
         for c in range(n_channels):
             st_c = jax.tree.map(lambda x: x[c], states)
             ct_c = jax.tree.map(lambda x: x[c], controls)
-            inters.append(pre(st_c, raws[c], ct_c))
+            inters.append(pre(st_c, feed[c], ct_c))
         inter = jax.tree.map(lambda *xs: jnp.stack(xs), *inters)
 
         if run_autocorr:

@@ -340,6 +340,46 @@ def test_channels_step_hybrid_matches_gated(cond_mode, with_drop):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("with_drop", [False, True])
+def test_channels_step_hybrid_stacked_demod_bit_exact(with_drop):
+    """demod_mode='stacked' (one normalize+pairing-matmul over all channels'
+    raw blocks) must be BIT-identical to the per-channel demod — flattening
+    preserves each channel's I/Q pair alignment, so the math is the same ops
+    on the same values."""
+    import jax.numpy as jnp
+    from tempestsdr_tpu.stream.pipeline import make_channels_step_hybrid
+
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=True)
+    params = Params(framerate_pll=True)
+    C = 3
+    n_blocks = 16
+    per_ch = [gen_blocks(n_blocks, cfg.block_samples, seed=70 + c) for c in range(C)]
+
+    stepP = jax.jit(make_channels_step_hybrid(cfg, params, C))
+    stepS = jax.jit(make_channels_step_hybrid(cfg, params, C,
+                                              demod_mode="stacked"))
+    sP = stack_states(cfg, C)
+    sS = stack_states(cfg, C)
+    base = StepControls.default()
+    frames = 0
+    for b in range(n_blocks):
+        dropped = jnp.asarray(
+            [0, 4444 if (with_drop and b == 4) else 0, 0], jnp.int64)
+        ctrl = StepControls(dropped,
+                            jnp.broadcast_to(base.syncoffset, (C,)),
+                            jnp.broadcast_to(base.motionblur, (C,)))
+        raws = jnp.stack([jnp.asarray(per_ch[c][b]) for c in range(C)])
+        sP, oP = stepP(sP, raws, ctrl)
+        sS, oS = stepS(sS, raws, ctrl)
+        for a, b2 in zip(jax.tree.leaves(oP), jax.tree.leaves(oS)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+        frames += int(np.asarray(oP.frame_valid).sum())
+    assert frames > 0
+    for a, b2 in zip(jax.tree.leaves(sP), jax.tree.leaves(sS)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(n_channel=4, n_time=4)  # 16 > 8 devices
