@@ -52,8 +52,8 @@ def _make_body(config: PipelineConfig, params: Params, T: int):
     if config.frames_per_block > 1:
         raise ValueError(
             "time-sharded step supports one frame per block (the wideband "
-            "config shards a sub-frame block across devices; raise T or "
-            "shrink block_samples)"
+            "config shards a sub-frame block across devices); shrink "
+            "block_samples below one frame's worth of samples"
         )
     n = config.block_samples
     if n % T:

@@ -244,12 +244,13 @@ class ExternalProcessSource(Source):
         # stderr) can never fill the ~64 KiB pipe and deadlock its stdout
         # writes; only the last STDERR_TAIL bytes are kept for last_error.
         tail = _TailBuffer(STDERR_TAIL)
-        threading.Thread(
+        drain = threading.Thread(
             target=self._drain_stderr, args=(proc, tail), daemon=True,
-        ).start()
+        )
+        drain.start()
         t = threading.Thread(
             target=self._read_loop,
-            args=(proc, self._ring, self._generation, tail),
+            args=(proc, self._ring, self._generation, tail, drain),
             daemon=True,
         )
         t.start()
@@ -290,7 +291,7 @@ class ExternalProcessSource(Source):
             pass
 
     def _read_loop(self, proc: subprocess.Popen, ring, generation: int,
-                   tail: "_TailBuffer") -> None:
+                   tail: "_TailBuffer", drain: threading.Thread) -> None:
         """stdout -> non-blocking ring writes; a full ring drops the chunk
         whole and counts it (same overflow semantics as sources/rtltcp.py).
         On child exit, capture the drained stderr tail for last_error — the
@@ -312,15 +313,19 @@ class ExternalProcessSource(Source):
                 rc = proc.wait(timeout=3)
             except (subprocess.TimeoutExpired, OSError):
                 rc = proc.poll()
-            if rc not in (None, 0) and self._running:
+            # only the CURRENT child reports errors and ends the stream — a
+            # respawned-away child exits rc=-15 by design (control=restart
+            # retune) and must neither poison last_error nor close the ring
+            with self._proc_lock:
+                current = self._generation == generation
+            if rc not in (None, 0) and self._running and current:
+                # let the drain thread flush the child's final stderr bytes
+                # before snapshotting the tail (it ends at stderr EOF)
+                drain.join(timeout=3)
                 text = tail.get().decode("utf-8", "replace").strip()
                 self._err = f"source process exited rc={rc}" + (
                     f": {text[-500:]}" if text else ""
                 )
-            # only the CURRENT child's EOF ends the stream (a respawned-away
-            # child must not close the shared ring)
-            with self._proc_lock:
-                current = self._generation == generation
             if current:
                 ring.close()
 

@@ -116,14 +116,16 @@ class MultiSession:
                 fv = np.asarray(out.frame_valid)
                 pv = np.asarray(out.ac_plot_valid)
                 # fv is (C,) for one-frame-per-block geometries, (C, K) for
-                # multi-emit steps (config.frames_per_block > 1)
+                # multi-emit steps (config.frames_per_block > 1); fetch the
+                # whole frame stack in ONE transfer when anything emitted
+                stack = np.asarray(out.frame) if fv.any() else None
                 for idx in np.argwhere(fv):
                     c = int(idx[0])
                     self.frames_total[c] += 1
                     frames += 1
                     if self.on_frame:
-                        fr = out.frame[c] if fv.ndim == 1 else out.frame[c, int(idx[1])]
-                        self.on_frame(c, np.asarray(fr))
+                        fr = stack[c] if fv.ndim == 1 else stack[c, int(idx[1])]
+                        self.on_frame(c, fr)
                 if self.on_plot and pv.any():
                     from ..events import PLOT_ID, PlotEvent
 

@@ -565,10 +565,14 @@ class Session:
         fv = np.asarray(out.frame_valid)
         if fv.ndim == 0:
             emitted = [out.frame] if fv else []
-        elif out.frame is None:
+        elif out.frame is None or not fv.any():
             emitted = []
         else:
-            emitted = [out.frame[k] for k in np.flatnonzero(fv)]
+            # ONE device->host transfer for the whole (K, H, W) stack, then
+            # index host-side (per-slot fetches cost a ~10 ms relay round
+            # trip each on the remote-TPU runtime)
+            stack = np.asarray(out.frame)
+            emitted = [stack[k] for k in np.flatnonzero(fv)]
         got_frame = bool(emitted)
         if got_frame:
             rr = float(out.refreshrate)

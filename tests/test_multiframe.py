@@ -6,7 +6,14 @@ The reference has no block-size ceiling at all — its decimating thread polls
 buffers (TSDRLibrary.c:335-386), so frame output is block-size invariant by
 construction. The TPU step folds in-place with a static emit contract; these
 tests pin the same invariance for the K-slot emit chain that lets big blocks
-amortize the per-block fixed cost (ROOFLINE.md)."""
+amortize the per-block fixed cost (ROOFLINE.md).
+
+All runs here pin framerate_pll=False: the PLL's refresh-delta feeds the
+resampler at BLOCK cadence (every block size, K included, since round 1),
+so with the PLL actively moving, different block sizes legitimately resample
+frames 2..K of a block with a delta up to K-1 frames staler than a
+small-block run would — the same cadence coarsening the reference has
+between its per-frame PLL nudge and the next resampler poll."""
 
 import numpy as np
 import pytest

@@ -643,7 +643,11 @@ def test_exec_freq_offset_respawn_argv():
     assert (next(it).samples == 75).all()
     src.set_basefreq(200)  # absolute tune: new center, offset cleared
     assert (next(it).samples == 200).all()
+    # respawned-away children exit rc=-15 BY DESIGN — healthy retunes must
+    # not poison last_error (only the CURRENT child reports)
+    assert src.last_error() == ""
     src.stop()
+    assert src.last_error() == ""  # stop() termination isn't an error either
 
 
 def test_exec_chatty_stderr_drained():
