@@ -52,6 +52,14 @@ def load():
         ]
         lib.tsdr_ring_write.restype = ctypes.c_int
         lib.tsdr_ring_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+        lib.tsdr_ring_write2.restype = ctypes.c_int
+        lib.tsdr_ring_write2.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+        ]
+        lib.tsdr_ring_note_dropped.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.tsdr_ring_take_dropped.restype = ctypes.c_uint64
         lib.tsdr_ring_take_dropped.argtypes = [ctypes.c_void_p]
         lib.tsdr_ring_close.argtypes = [ctypes.c_void_p]
@@ -89,8 +97,17 @@ class Ring:
         addr = (ctypes.c_uint8 * n).from_buffer(buf_view)
         return self._lib.tsdr_ring_read(self._h, addr, n, int(blocking))
 
-    def write(self, data: bytes) -> bool:
-        return self._lib.tsdr_ring_write(self._h, data, len(data)) == 0
+    def write(self, data: bytes, blocking: bool = False) -> bool:
+        """Push bytes. blocking=False drops the chunk whole when full
+        (CB_FULL live semantics); blocking=True waits for space
+        (backpressure into a paced producer)."""
+        return self._lib.tsdr_ring_write2(self._h, data, len(data),
+                                          int(blocking)) == 0
+
+    def note_dropped(self, nbytes: int) -> None:
+        """Record an externally-reported gap (hardware samples_dropped) at
+        the current write position — it matures like an overflow drop."""
+        self._lib.tsdr_ring_note_dropped(self._h, nbytes)
 
     def take_dropped(self) -> int:
         return self._lib.tsdr_ring_take_dropped(self._h)

@@ -103,6 +103,18 @@ struct Ring {
     return take;
   }
 
+  // Record an EXTERNALLY-reported gap (e.g. a hardware source's
+  // samples_dropped accompanying a plugin push, TSDRPlugin.h:49) at the
+  // current write position: the gap precedes the data the producer is about
+  // to push, so it matures exactly like a ring-overflow drop.
+  void note_dropped(uint64_t n) {
+    std::lock_guard<std::mutex> lk(mu);
+    if (!drops.empty() && drops.back().first == written)
+      drops.back().second += n;
+    else
+      drops.emplace_back(written, n);
+  }
+
   // Release only MATURED drop counts: gaps whose preceding bytes have all
   // been consumed (drop pos <= read_total).
   uint64_t take_dropped() {
@@ -182,6 +194,17 @@ size_t tsdr_ring_read(void* r, uint8_t* dst, size_t n, int blocking) {
 
 int tsdr_ring_write(void* r, const uint8_t* src, size_t n) {
   return static_cast<Ring*>(r)->push(src, n, false) ? 0 : 1;
+}
+
+// Blocking-capable write: blocking=1 waits for space (backpressure into the
+// producer — drop-free replay through a paced plugin), blocking=0 is
+// tsdr_ring_write (CB_FULL drop semantics).
+int tsdr_ring_write2(void* r, const uint8_t* src, size_t n, int blocking) {
+  return static_cast<Ring*>(r)->push(src, n, blocking != 0) ? 0 : 1;
+}
+
+void tsdr_ring_note_dropped(void* r, uint64_t bytes) {
+  static_cast<Ring*>(r)->note_dropped(bytes);
 }
 
 uint64_t tsdr_ring_take_dropped(void* r) {

@@ -16,3 +16,4 @@ from .synthetic import SyntheticSource, render_test_pattern, synth_iq  # noqa: F
 from .live import SimulatedLiveSource  # noqa: F401
 from .rtltcp import RtlTcpSource  # noqa: F401
 from .subproc import ExternalProcessSource  # noqa: F401
+from .cplugin import CPluginSource  # noqa: F401
