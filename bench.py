@@ -374,11 +374,16 @@ class BenchRunner:
         from tempestsdr_tpu.config import PipelineConfig
         from tempestsdr_tpu.params import Params
 
-        # 2^16: at 8 MS/s a 2^17 block can complete >1 frame per step, which
-        # the one-frame-per-step emit contract rejects (caught by --cpu-smoke)
+        # block 450560 = the largest 4096-multiple under the autocorr-round
+        # cap (450,909 samples at 8 MS/s, pipeline.py:303). The round-4
+        # multi-frame emit removed the old one-frame-per-step wall; the
+        # block sweep (bench/ROUND4_PROBE4.json) measured 165.2 MS/s here vs
+        # 155.6 at the old 2^16 in one session (+6% — this geometry is
+        # emit-body-bound at ~1.2 kframes/s, so amortizing the per-block
+        # fixed cost only trims the smaller term).
         cfg = PipelineConfig(samplerate=8e6, height=628, refreshrate=60.0,
-                            block_samples=1 << 16)
-        K, M = (16, 2) if self.quick else (96, 8)
+                            block_samples=450560)
+        K, M = (4, 2) if self.quick else (18, 8)
         r = self._timed_scan(cfg, Params(), K, M)
         r["vs_ref_fps"] = round(r["frames_per_s"] / REFERENCE_FPS, 1)
         print(f"# config1 replay@8MS/s: {r}", file=sys.stderr)
@@ -404,9 +409,11 @@ class BenchRunner:
         from tempestsdr_tpu.sources.synthetic import render_test_pattern, synth_iq
 
         sr = 16e6
+        # block 786432 (K=4): +9% over the old 2^17 in-session
+        # (bench/ROUND4_PROBE4.json 189.4 vs 173.3 MS/s); 901120 regresses
         cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
-                            block_samples=1 << 17)
-        K, M = (8, 2) if self.quick else (32, 6)
+                            block_samples=786432)
+        K, M = (2, 2) if self.quick else (10, 6)
         r = self._timed_scan(cfg, Params(), K, M, collect_ac=True)
 
         # time-to-detect on a real (non-noise) capture. Blocks are scanned
@@ -435,7 +442,10 @@ class BenchRunner:
         pos = 0
         est = None
         t0 = time.monotonic()
-        B, max_blocks = 8, 80
+        # at block 786432 each block is 49 ms of signal; detection converges
+        # in ~5 blocks, so 4 blocks/dispatch and a 40-block budget keep the
+        # host synth cost bounded while leaving 8x headroom
+        B, max_blocks = 4, 40
         for _ in range(max_blocks // B):
             blks = np.stack([
                 synth_iq(raster, samplerate=sr,
@@ -483,10 +493,12 @@ class BenchRunner:
         from tempestsdr_tpu.sources.synthetic import render_test_pattern, synth_iq
 
         sr = 16e6
+        # block 786432 (K=4): +4% over the old 2^17 in-session
+        # (bench/ROUND4_PROBE4.json 203.6 vs 195.4 MS/s); 1572864 regresses
         cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
-                            block_samples=1 << 17, autocorr=False)
+                            block_samples=786432, autocorr=False)
         mb = 15.0 / 16.0  # 16-frame effective averaging window
-        K, M = (8, 2) if self.quick else (32, 6)
+        K, M = (2, 2) if self.quick else (10, 6)
         ctrl = None
         import jax.numpy as jnp
         from tempestsdr_tpu.stream.pipeline import StepControls as SC
@@ -503,7 +515,9 @@ class BenchRunner:
 
         from jax import lax
 
-        def run_mb(mbv, n_blocks=40):
+        def run_mb(mbv, n_blocks=7):
+            # 7 blocks at 786432 = ~20.6 frames — the same averaging-settle
+            # window the old 40x2^17 capture gave, at 1/6 the host synth cost
             # one scan dispatch for the whole capture; the last completed
             # frame rides the carry so only it is fetched (per-step dispatch
             # through the remote relay is ~seconds — CLAUDE.md)
@@ -512,8 +526,12 @@ class BenchRunner:
             def body(carry, raw):
                 st, last = carry
                 st, out = step(st, raw, c)
-                last = jnp.where(out.frame_valid, out.frame, last)
-                return (st, last), out.frame_valid
+                if out.frame.ndim == 3:  # K-emit: (K,h,w) slots in stream order
+                    for k in range(out.frame.shape[0]):
+                        last = jnp.where(out.frame_valid[k], out.frame[k], last)
+                else:
+                    last = jnp.where(out.frame_valid, out.frame, last)
+                return (st, last), jnp.any(out.frame_valid)
 
             @jax.jit
             def run(carry, raws):
