@@ -87,6 +87,25 @@ def test_example_multi_target(tmp_path):
     assert "target 2:" in out, out
 
 
+def test_example_reference_plugin(capture, tmp_path, tmp_path_factory):
+    import shutil
+
+    import test_cplugin
+    from tempestsdr_tpu import native as native_io
+
+    if not os.path.isdir(test_cplugin.REF) or shutil.which("gcc") is None \
+            or not native_io.available():
+        pytest.skip("reference source, gcc, or native IO unavailable")
+    so = test_cplugin._build_plugin(tmp_path_factory.mktemp("explug"), "ex")
+    out = run_example(
+        [os.path.join(EX, "reference_plugin.py"), so,
+         f"{capture} 8000000 uint8"],
+        tmp_path,
+    )
+    assert "streamed 8 frames" in out, out
+    assert "loaded:" in out, out
+
+
 def test_example_multi_channel(tmp_path):
     out = run_example(
         [os.path.join(EX, "multi_channel.py"), "4"],
