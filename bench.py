@@ -83,7 +83,21 @@ def _flush_partial(path, configs):
     os.replace(tmp, path)
 
 
+def _heartbeat():
+    """Intra-config liveness marker: the child bumps a counter in the
+    partial file at stage boundaries (compile done, sub-measurement done) so
+    the parent can tell 'working through a 300-400 s cold-compile config'
+    from 'wedged session claim' (which writes nothing). The 2026-08-20 run
+    lost configs 3+5 to exactly this: config3's SNR section compiles twice
+    and synthesizes ~11 M samples host-side with no new config key for
+    > STALL_S, so a healthy child was killed as stalled."""
+    configs = _load_partial(PARTIAL_PATH)
+    configs["_heartbeat"] = int(configs.get("_heartbeat", 0)) + 1
+    _flush_partial(PARTIAL_PATH, configs)
+
+
 def _emit_final(configs, extra=None):
+    configs = {k: v for k, v in configs.items() if not k.startswith("_")}
     head = configs.get("config4") or {}
     if "ingest_MSps" not in head:
         head = next((c for c in configs.values()
@@ -146,14 +160,16 @@ def parent_main():
                "--configs", ",".join(map(str, remaining))] + passthrough
         print(f"# parent: attempt {spawns} configs={remaining}", file=sys.stderr)
         child = subprocess.Popen(cmd)
-        done_at_start = _done_set(_load_partial(PARTIAL_PATH))
+        part = _load_partial(PARTIAL_PATH)
+        seen = (_done_set(part), part.get("_heartbeat"))
         last_progress = time.monotonic()
         while child.poll() is None:
             time.sleep(5)
             now = time.monotonic()
-            done = _done_set(_load_partial(PARTIAL_PATH))
-            if done != done_at_start:
-                done_at_start = done
+            part = _load_partial(PARTIAL_PATH)
+            cur = (_done_set(part), part.get("_heartbeat"))
+            if cur != seen:
+                seen = cur
                 last_progress = now
             stalled = now - last_progress > STALL_S
             over = now - t0 > BUDGET_S + min(60, BUDGET_S)
@@ -279,6 +295,7 @@ def child_main():
             pass
     for num in nums:
         try:
+            _heartbeat()  # config boundary: the claim/compile ahead is alive
             res = fns[num]()
             res.setdefault("backend", jax.default_backend())
         except Exception as e:  # noqa: BLE001 — one config must not sink the rest
@@ -332,6 +349,7 @@ class BenchRunner:
         state, outs = run(state, raws)
         _ = np.asarray(outs[0]).sum()
         compile_s = time.monotonic() - t0
+        _heartbeat()  # cold compile survived — not a wedged claim
 
         # best-of-M dispatch timing: the remote TPU runtime's throughput
         # wobbles by 10-30% hour to hour (STATUS.md round-2 notes), so the
@@ -361,6 +379,8 @@ class BenchRunner:
             "frames_per_s": round(frames / dt, 1),
             "x_realtime": round(K * cfg.block_samples / best / cfg.samplerate, 2),
             "compile_s": round(compile_s, 1),
+            "block_samples": cfg.block_samples,
+            "blocks_per_dispatch": K,
         }
         if collect_ac:
             res["ac_rounds_per_s"] = round(rounds / dt, 2)
@@ -383,7 +403,10 @@ class BenchRunner:
         # fixed cost only trims the smaller term).
         cfg = PipelineConfig(samplerate=8e6, height=628, refreshrate=60.0,
                             block_samples=450560)
-        K, M = (4, 2) if self.quick else (18, 8)
+        # 192 blocks/dispatch amortize the ~25 ms relay dispatch floor
+        # (ROUND4_PROBE6: true per-block 1.527 ms = 295 MS/s at this
+        # geometry; an 18-block dispatch hid 45% of that under the floor)
+        K, M = (4, 2) if self.quick else (192, 6)
         r = self._timed_scan(cfg, Params(), K, M)
         r["vs_ref_fps"] = round(r["frames_per_s"] / REFERENCE_FPS, 1)
         print(f"# config1 replay@8MS/s: {r}", file=sys.stderr)
@@ -413,7 +436,9 @@ class BenchRunner:
         # (bench/ROUND4_PROBE4.json 189.4 vs 173.3 MS/s); 901120 regresses
         cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
                             block_samples=786432)
-        K, M = (2, 2) if self.quick else (10, 6)
+        # 128 blocks/dispatch amortize the ~25 ms relay dispatch floor
+        # (bench/ROUND4_PROBE6.json)
+        K, M = (2, 2) if self.quick else (128, 6)
         r = self._timed_scan(cfg, Params(), K, M, collect_ac=True)
 
         # time-to-detect on a real (non-noise) capture. Blocks are scanned
@@ -456,6 +481,7 @@ class BenchRunner:
                 for i in range(B)
             ])
             state, (valids, fplots, lplots) = det_scan(state, jnp.asarray(blks))
+            _heartbeat()  # detection dispatch (first one pays a compile)
             valids = np.asarray(valids)
             for i in np.nonzero(valids)[0]:
                 tracker.feed(PlotEvent(PLOT_ID.FRAME, f_off,
@@ -498,7 +524,8 @@ class BenchRunner:
         cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
                             block_samples=786432, autocorr=False)
         mb = 15.0 / 16.0  # 16-frame effective averaging window
-        K, M = (2, 2) if self.quick else (10, 6)
+        # 128 blocks/dispatch amortize the ~25 ms relay dispatch floor
+        K, M = (2, 2) if self.quick else (128, 6)
         ctrl = None
         import jax.numpy as jnp
         from tempestsdr_tpu.stream.pipeline import StepControls as SC
@@ -551,7 +578,9 @@ class BenchRunner:
             return np.asarray(last)
 
         f_raw = run_mb(0.0)
+        _heartbeat()  # SNR leg 1 (compile + ~5.5 M samples of host synth)
         f_avg = run_mb(mb)
+        _heartbeat()
 
         def snr_db(f):
             # signal model: correlate against the raw frame's clean structure
@@ -581,7 +610,13 @@ class BenchRunner:
 
         cfg = PipelineConfig(samplerate=64e6, height=628, refreshrate=60.0,
                             block_samples=786432)
-        K, M = (8, 2) if self.quick else (32, 12)
+        # K=192 blocks/dispatch: the relay charges a measured ~25 ms
+        # PER-DISPATCH floor (bench/ROUND4_PROBE6.json floor:K32/K128 —
+        # empty scans cost 25.4-25.8 ms), which was 40% of the old
+        # 32-block dispatch; 192 blocks amortize it to ~8% of a ~250 ms
+        # sustained dispatch (true per-block cost 1.169 ms = 673 MS/s).
+        # Production Session.run(batch_blocks=...) batches identically.
+        K, M = (8, 2) if self.quick else (192, 8)
         r = self._timed_scan(cfg, Params(), K, M)
         print(f"# config4 wideband@64MS/s: {r}", file=sys.stderr)
         return r
@@ -653,8 +688,10 @@ class BenchRunner:
         # block: must stay under ac_round (901818 samples at 16 MS/s); the
         # multi-emit step (round 4) lifted the old one-frame ceiling, and the
         # block sweep (bench/ROUND4_PROBE.json) made 786432 (K=4, 4096-
-        # multiple for the Mosaic kernel) the measured best
-        K, M = (2, 2) if self.quick else (12, 4)
+        # multiple for the Mosaic kernel) the measured best. 48 blocks per
+        # dispatch amortize the ~25 ms relay dispatch floor
+        # (bench/ROUND4_PROBE6.json) to ~3% of a ~760 ms dispatch.
+        K, M = (2, 2) if self.quick else (48, 4)
         cfg = PipelineConfig(samplerate=sr, height=628, refreshrate=60.0,
                             block_samples=block)
         if kind == "hybrid":
