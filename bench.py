@@ -723,6 +723,7 @@ class BenchRunner:
         state, fv = run(state, raws)
         _ = int(np.asarray(fv).sum())
         compile_s = time.monotonic() - t0
+        _heartbeat()  # hybrid cold compile (315-420 s) survived
         dts, frames = [], 0
         for _ in range(M):
             t0 = time.monotonic()
