@@ -115,12 +115,18 @@ struct Ring {
       drops.emplace_back(written, n);
   }
 
-  // Release only MATURED drop counts: gaps whose preceding bytes have all
-  // been consumed (drop pos <= read_total).
+  // Release only MATURED drop counts: gaps the consumer has read PAST
+  // (drop pos < read_total — at least one post-gap byte consumed).  The
+  // strict inequality lets a consumer that calls take_dropped() right
+  // after each block read attribute every gap to the first block that
+  // contains post-gap data, the "delivery that follows the gap"
+  // (TSDRPlugin_UHD.cpp:264-294): a gap exactly at a block boundary is
+  // NOT released after the pre-gap block (pos == read_total), only after
+  // the first block beyond it.
   uint64_t take_dropped() {
     std::lock_guard<std::mutex> lk(mu);
     uint64_t d = 0;
-    while (!drops.empty() && drops.front().first <= read_total) {
+    while (!drops.empty() && drops.front().first < read_total) {
       d += drops.front().second;
       drops.pop_front();
     }

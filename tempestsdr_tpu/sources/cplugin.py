@@ -249,13 +249,17 @@ class CPluginSource(Source):
         t.start()
         self._reader = t
         try:
-            pending = 0
+            # take_dropped() matures a gap only once a post-gap byte has
+            # been consumed (strict <, io_runtime.cpp), so taking right
+            # after each read attributes the gap to the first block that
+            # contains post-gap data — the delivery following the gap
+            # (TSDRPlugin_UHD.cpp:264-294), with no extra block of lag.
             while self._running:
                 buf = bytearray(block_bytes)
                 got = ring.read_into(memoryview(buf), blocking=True)
                 if got < block_bytes:
                     break  # plugin returned / stop()
-                dropped_bytes, pending = pending, ring.take_dropped()
+                dropped_bytes = ring.take_dropped()
                 arr = np.frombuffer(bytes(buf), dtype=np.float32)
                 yield SourceBlock(arr, int(dropped_bytes // _BYTES_PER_SAMPLE))
         finally:

@@ -148,17 +148,17 @@ class SimulatedLiveSource(Source):
         )
         self._producer.start()
         try:
-            # take_dropped() releases a drop only after the bytes preceding
-            # the gap were consumed, so drops matured during block k's read
-            # belong between block k and k+1 — attach them to block k+1
-            # (samples_dropped = gap before this block's samples)
-            pending_bytes = 0
+            # take_dropped() matures a gap only once a post-gap byte was
+            # consumed (strict <, io_runtime.cpp), so taking right after
+            # each read attaches the gap to the first block containing
+            # post-gap samples (samples_dropped = gap before this block's
+            # samples, TSDRPlugin_UHD.cpp:264-294)
             while self._running:
                 buf = bytearray(block_bytes)
                 got = ring.read_into(memoryview(buf), blocking=True)
                 if got < block_bytes:
                     break  # closed
-                dropped_bytes, pending_bytes = pending_bytes, ring.take_dropped()
+                dropped_bytes = ring.take_dropped()
                 arr = np.frombuffer(bytes(buf), dtype=np.float32)
                 yield SourceBlock(arr, int(dropped_bytes // 8))
         finally:

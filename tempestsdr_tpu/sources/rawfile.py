@@ -190,13 +190,14 @@ class RawFileSource(Source):
             # matured drops attach to the block AFTER the gap, like the
             # other ring consumers (see sources/live.py). The file pump
             # pushes blocking so drops normally never fire here.
-            pending_bytes = 0
+            # take right after each read: strict-< maturation attributes
+            # the gap to the first block containing post-gap data
             while self._working:
                 buf = bytearray(block_bytes)
                 got = ring.read_into(memoryview(buf), blocking=True)
                 if got < block_bytes:
                     break  # pump finished (non-loop EOF) or closed
-                dropped_bytes, pending_bytes = pending_bytes, ring.take_dropped()
+                dropped_bytes = ring.take_dropped()
                 arr = np.frombuffer(bytes(buf), dtype=self._dtype)
                 yield SourceBlock(arr, int(dropped_bytes // (2 * itemsize)))
         finally:

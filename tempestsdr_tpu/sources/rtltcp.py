@@ -210,13 +210,14 @@ class RtlTcpSource(Source):
         try:
             # matured drops attach to the block AFTER the gap (the ring
             # positions each drop in the stream; see sources/live.py)
-            pending_bytes = 0
+            # take right after each read: strict-< maturation attributes
+            # the gap to the first block containing post-gap data
             while self._running:
                 buf = bytearray(block_bytes)
                 got = ring.read_into(memoryview(buf), blocking=True)
                 if got < block_bytes:
                     break  # server closed / stop()
-                dropped_bytes, pending_bytes = pending_bytes, ring.take_dropped()
+                dropped_bytes = ring.take_dropped()
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 yield SourceBlock(arr, int(dropped_bytes // 2))
         finally:

@@ -356,13 +356,14 @@ class ExternalProcessSource(Source):
             ring.close()
             raise
         try:
-            pending_bytes = 0
+            # take right after each read: strict-< maturation attributes
+            # the gap to the first block containing post-gap data
             while self._running:
                 buf = bytearray(block_bytes)
                 got = ring.read_into(memoryview(buf), blocking=True)
                 if got < block_bytes:
                     break  # child exited / stop()
-                dropped_bytes, pending_bytes = pending_bytes, ring.take_dropped()
+                dropped_bytes = ring.take_dropped()
                 raw = bytes(buf)
                 if dtype is None:  # i24 -> f32 (ExtIO 24-bit conversion)
                     arr = _i24le_to_f32(raw)

@@ -151,7 +151,9 @@ def test_native_ring_drop_accounting():
     assert ring.write(b"b" * 512)
     assert not ring.write(b"c" * 128)  # overflow -> dropped whole
     # the gap sits AFTER the 1024 buffered bytes: its count must not be
-    # released until the reader has consumed everything that preceded it
+    # released until the reader has consumed PAST the gap position (strict
+    # maturation — the take after the first post-gap read attributes the
+    # drop to the block that follows the gap, never the one before it)
     assert ring.take_dropped() == 0
     buf = bytearray(600)
     got = ring.read_into(memoryview(buf))
@@ -159,9 +161,13 @@ def test_native_ring_drop_accounting():
     assert ring.take_dropped() == 0  # 424 pre-gap bytes still buffered
     buf2 = bytearray(424)
     assert ring.read_into(memoryview(buf2)) == 424
-    assert ring.take_dropped() == 128  # matured: all pre-gap bytes consumed
-    # post-gap data written later is unaffected
+    # all pre-gap bytes consumed but nothing beyond the gap yet: a take
+    # here would pin the drop on the PRE-gap block — must stay pending
+    assert ring.take_dropped() == 0
     assert ring.write(b"d" * 64)
+    buf3 = bytearray(64)
+    assert ring.read_into(memoryview(buf3)) == 64
+    assert ring.take_dropped() == 128  # matured with the post-gap read
     assert ring.take_dropped() == 0
     ring.close()
 
