@@ -17,4 +17,4 @@ from .resample import (  # noqa: F401
 )
 from .fir import design_lowpass_fir, fir_apply_block  # noqa: F401
 from .frame import collapse_v_h, autogain_run, time_lowpass  # noqa: F401
-from .sync import find_best_fit, find_the_sweet_spot, SweetspotState  # noqa: F401
+from .sync import find_best_fit, find_the_sweet_spot, find_the_sweet_spot_pair, SweetspotState  # noqa: F401

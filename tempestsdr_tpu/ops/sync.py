@@ -89,7 +89,47 @@ def find_best_fit(data: jnp.ndarray, totalsum, stripsize):
     m = (totalsum - w) / (jnp.float64(n) - s) - w / s
     m = m * m
     j = jnp.argmax(m).astype(jnp.int32)
-    return m[j], jnp.maximum(j - 1, 0)
+    # max(m) == m[argmax(m)] bit-for-bit (no NaNs: m is squared finite f64)
+    # without the dynamic-index gather — element gathers are TPU poison
+    return jnp.max(m), jnp.maximum(j - 1, 0)
+
+
+def _candidate_sizes(state: SweetspotState, n: int, minsize: int):
+    """The reference's strip-size probe set {curr, curr±4, curr/2, curr*2}
+    in probe order (syncdetector.c:88-93): (safe sizes i32[5], valid bool[5]),
+    invalid slots replaced by the always-valid base size."""
+    minsize = max(int(minsize), 1)
+    size2 = n >> 1
+    curr = jnp.clip(state.stripsize, minsize, size2)
+    cand = jnp.stack(
+        [curr, curr - 4, curr + 4, curr >> 1, curr << 1]
+    ).astype(jnp.int32)
+    valid = (cand >= minsize) & (cand < size2) & (cand != curr)
+    valid = valid.at[0].set(True)  # base size always evaluated
+    safe = jnp.where(valid, cand, curr)
+    return safe, valid
+
+
+def _iir_track(state: SweetspotState, beststripsize, beststripstart, n: int,
+               lowpasscoeff: float) -> SweetspotState:
+    """IIR strip-centre tracking with wraparound + wrap-corrected velocity
+    (syncdetector.c:101-118)."""
+    h2 = n // 2
+    dxnl = (beststripstart + beststripsize // 2) % n
+    rawdiff = dxnl - state.dx
+    dx0 = jnp.where(rawdiff > h2, state.dx + n, state.dx)
+    dxnl = jnp.where(rawdiff < -h2, dxnl + n, dxnl)
+    lastx = dx0
+    c = jnp.float64(lowpasscoeff)
+    dx1 = (
+        jnp.round(dxnl.astype(jnp.float64) * c + (1.0 - c) * dx0.astype(jnp.float64))
+        .astype(jnp.int64) % n
+    ).astype(jnp.int32)
+    rawvx = dx1 - lastx
+    vx = jnp.where(
+        rawvx > h2, n - rawvx, jnp.where(rawvx < -h2, -n - rawvx, rawvx)
+    ).astype(jnp.int32)
+    return SweetspotState(beststripsize, dx1, vx)
 
 
 def find_the_sweet_spot(
@@ -105,20 +145,9 @@ def find_the_sweet_spot(
     from .gaussian import gaussian_blur_circular
 
     n = data.shape[0]
-    minsize = max(int(minsize), 1)
-    size2 = n >> 1
-
-    curr = jnp.clip(state.stripsize, minsize, size2)
     data = gaussian_blur_circular(data)
     totalsum = jnp.sum(data)
-
-    # candidate strip sizes in the reference's probe order (:88-93)
-    cand = jnp.stack(
-        [curr, curr - 4, curr + 4, curr >> 1, curr << 1]
-    ).astype(jnp.int32)
-    valid = (cand >= minsize) & (cand < size2) & (cand != curr)
-    valid = valid.at[0].set(True)  # base size always evaluated
-    safe = jnp.where(valid, cand, curr)
+    safe, valid = _candidate_sizes(state, n, minsize)
 
     # all 5 candidate sizes share ONE doubled cumsum; each candidate's window
     # sums are csum[s:s+n] - csum[:n], i.e. a traced-start dynamic_slice per
@@ -140,30 +169,85 @@ def find_the_sweet_spot(
     m = (totalsum - w) / (jnp.float64(n) - s) - w / s
     m = m * m
     j = jnp.argmax(m, axis=1).astype(jnp.int32)  # per-candidate best window
-    fits = jnp.where(valid, jnp.take_along_axis(m, j[:, None].astype(jnp.int64), axis=1)[:, 0], -jnp.inf)
+    # per-candidate best fit = row max (== m[j] bit-for-bit, gather-free)
+    fits = jnp.where(valid, jnp.max(m, axis=1), -jnp.inf)
     ids = jnp.maximum(j - 1, 0)  # the reference's id-off-by-one (:46-56)
     win = jnp.argmax(fits)  # first-wins == sequential strict->
     beststripstart = ids[win]
     beststripsize = safe[win]
 
-    # IIR position tracking with wraparound (:101-116)
-    h2 = n // 2
-    dxnl = (beststripstart + beststripsize // 2) % n
-    rawdiff = dxnl - state.dx
-    dx0 = jnp.where(rawdiff > h2, state.dx + n, state.dx)
-    dxnl = jnp.where(rawdiff < -h2, dxnl + n, dxnl)
-    lastx = dx0
-    c = jnp.float64(lowpasscoeff)
-    dx1 = (
-        jnp.round(dxnl.astype(jnp.float64) * c + (1.0 - c) * dx0.astype(jnp.float64))
-        .astype(jnp.int64) % n
-    ).astype(jnp.int32)
-    rawvx = dx1 - lastx
-    vx = jnp.where(
-        rawvx > h2, n - rawvx, jnp.where(rawvx < -h2, -n - rawvx, rawvx)
-    ).astype(jnp.int32)
+    state = _iir_track(state, beststripsize, beststripstart, n, lowpasscoeff)
+    return state, data, beststripstart
 
-    return SweetspotState(beststripsize, dx1, vx), data, beststripstart
+
+def find_the_sweet_spot_pair(
+    state_x: SweetspotState, data_x: jnp.ndarray, minsize_x: int, coeff_x: float,
+    state_y: SweetspotState, data_y: jnp.ndarray, minsize_y: int, coeff_y: float,
+):
+    """Both axes' detection rounds (syncdetector.c:176-186 calls
+    findthesweetspot twice per frame) fused into one batched search.
+
+    The per-frame sync search is the dominant emit-body cost at narrowband
+    geometry (bench/ROUND4_PROBE7.json: ~161 us/frame, 73 % of the post
+    body) and is kernel-count-bound, not FLOP-bound: the profiles are a few
+    hundred f64 elements. Fusing the axes halves the kernel count — ONE
+    doubled cumsum over a zero-padded (2, 2L) matrix (each row's prefix is
+    unaffected by trailing zeros), ten batched window slices, one shared
+    metric + masked argmax over (10, L).
+
+    Numerics: identical candidate math to find_the_sweet_spot; the only
+    potential divergence is f64 summation-tree rounding inside the batched
+    cumsum when the rows are padded (n < L), which can flip a strict
+    near-tie between windows — the same caveat as the cumsum-vs-rolling-sum
+    restructure itself (module docstring). All oracle and order-matrix
+    parity tests pass bit-exact.
+
+    Returns (state_x', state_y', (blur_x, blur_y), (start_x, start_y)).
+    """
+    from .gaussian import gaussian_blur_circular
+
+    nx, ny = data_x.shape[0], data_y.shape[0]
+    L = max(nx, ny)
+    bx = gaussian_blur_circular(data_x)
+    by = gaussian_blur_circular(data_y)
+    tx, ty = jnp.sum(bx), jnp.sum(by)
+    safe_x, valid_x = _candidate_sizes(state_x, nx, minsize_x)
+    safe_y, valid_y = _candidate_sizes(state_y, ny, minsize_y)
+
+    rows = jnp.zeros((2, 2 * L), jnp.float64)
+    rows = rows.at[0, : 2 * nx].set(jnp.concatenate([bx, bx]))
+    rows = rows.at[1, : 2 * ny].set(jnp.concatenate([by, by]))
+    csum = jnp.concatenate(
+        [jnp.zeros((2, 1), jnp.float64), jnp.cumsum(rows, axis=1)], axis=1
+    )
+    # candidate strip sizes are < n/2 <= L, so every length-L slice below
+    # stays in bounds; columns past each row's n are garbage and masked out
+    hi = jnp.stack(
+        [lax.dynamic_slice(csum[0], (safe_x[k],), (L,)) for k in range(5)]
+        + [lax.dynamic_slice(csum[1], (safe_y[k],), (L,)) for k in range(5)]
+    )
+    w = hi - jnp.repeat(csum[:, :L], 5, axis=0)
+    s = jnp.concatenate([safe_x, safe_y]).astype(jnp.float64)[:, None]
+    n_row = jnp.concatenate(
+        [jnp.full((5,), float(nx), jnp.float64), jnp.full((5,), float(ny), jnp.float64)]
+    )[:, None]
+    t_row = jnp.concatenate(
+        [jnp.broadcast_to(tx, (5,)), jnp.broadcast_to(ty, (5,))]
+    )[:, None]
+    m = (t_row - w) / (n_row - s) - w / s
+    m = m * m
+    col_ok = jnp.arange(L)[None, :] < n_row  # mask the padded columns
+    m = jnp.where(col_ok, m, -jnp.inf)
+    j = jnp.argmax(m, axis=1).astype(jnp.int32)
+    fits = jnp.where(
+        jnp.concatenate([valid_x, valid_y]), jnp.max(m, axis=1), -jnp.inf
+    )
+    ids = jnp.maximum(j - 1, 0)  # the reference's id-off-by-one (:46-56)
+    win_x = jnp.argmax(fits[:5])  # first-wins == sequential strict->
+    win_y = jnp.argmax(fits[5:])
+    sx = _iir_track(state_x, safe_x[win_x], ids[win_x], nx, coeff_x)
+    sy = _iir_track(state_y, safe_y[win_y], ids[5 + win_y], ny, coeff_y)
+    return sx, sy, (bx, by), (ids[win_x], ids[5 + win_y])
 
 
 def framerate_pll(

@@ -51,7 +51,7 @@ from ..ops.sync import (
     FRAMERATE_DX_LOWPASS_COEFF_HEIGHT,
     FRAMERATE_DX_LOWPASS_COEFF_WIDTH,
     PLLState,
-    find_the_sweet_spot,
+    find_the_sweet_spot_pair,
     framerate_pll,
 )
 from ..ops.autocorr import accumulate_running_mean, autocorrelation_magnitude
@@ -154,12 +154,14 @@ class StepControls(NamedTuple):
 
 def _sync_positions(config: PipelineConfig, params: Params, sync_x, sync_y, pll, wprof, hprof):
     """Position half of syncdetector_run (syncdetector.c:171-186): sweet-spot
-    detection on both collapsed profiles + the frame-rate PLL update."""
-    sx, _, _ = find_the_sweet_spot(
-        sync_x, wprof, int(config.width * np.float32(0.05)), FRAMERATE_DX_LOWPASS_COEFF_WIDTH
-    )
-    sy, _, _ = find_the_sweet_spot(
-        sync_y, hprof, int(config.height * np.float32(0.01)), FRAMERATE_DX_LOWPASS_COEFF_HEIGHT
+    detection on both collapsed profiles + the frame-rate PLL update. The two
+    per-axis searches run as ONE fused batched search (sync is the dominant,
+    kernel-count-bound emit cost — ops/sync.py find_the_sweet_spot_pair)."""
+    sx, sy, _, _ = find_the_sweet_spot_pair(
+        sync_x, wprof, int(config.width * np.float32(0.05)),
+        FRAMERATE_DX_LOWPASS_COEFF_WIDTH,
+        sync_y, hprof, int(config.height * np.float32(0.01)),
+        FRAMERATE_DX_LOWPASS_COEFF_HEIGHT,
     )
     pll = framerate_pll(
         pll,

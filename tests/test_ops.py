@@ -351,6 +351,39 @@ def test_sweetspot_matches_oracle():
     assert int(st2.vx) == rvx
 
 
+def test_sweetspot_pair_matches_two_single_calls():
+    """The fused two-axis search (one batched doubled-cumsum, shared
+    metric/argmax — ops/sync.py find_the_sweet_spot_pair) must reproduce two
+    independent find_the_sweet_spot calls bit-exactly, including when the
+    axes differ in length (padding columns masked) and across several
+    rounds of strip-size adaptation."""
+    from tempestsdr_tpu.ops.sync import find_the_sweet_spot_pair
+
+    rng = np.random.default_rng(11)
+    for nx, ny in ((222, 222), (424, 628), (628, 424), (100, 333)):
+        dx = rng.normal(size=nx) ** 2 + 10.0
+        dx[nx // 3 : nx // 3 + nx // 12] *= 0.1
+        dy = rng.normal(size=ny) ** 2 + 10.0
+        dy[ny // 2 : ny // 2 + ny // 20] *= 0.05
+        sx = SweetspotState(jnp.int32(16), jnp.int32(3), jnp.int32(0))
+        sy = SweetspotState(jnp.int32(8), jnp.int32(7), jnp.int32(0))
+        for _ in range(4):
+            ex, bx, ix = find_the_sweet_spot(sx, jnp.asarray(dx), int(nx * 0.05), 0.9)
+            ey, by, iy = find_the_sweet_spot(sy, jnp.asarray(dy), int(ny * 0.01), 0.1)
+            gx, gy, (pbx, pby), (px, py) = find_the_sweet_spot_pair(
+                sx, jnp.asarray(dx), int(nx * 0.05), 0.9,
+                sy, jnp.asarray(dy), int(ny * 0.01), 0.1,
+            )
+            for want, got in ((ex, gx), (ey, gy)):
+                assert int(want.stripsize) == int(got.stripsize), (nx, ny)
+                assert int(want.dx) == int(got.dx), (nx, ny)
+                assert int(want.vx) == int(got.vx), (nx, ny)
+            assert int(ix) == int(px) and int(iy) == int(py)
+            np.testing.assert_array_equal(np.asarray(bx), np.asarray(pbx))
+            np.testing.assert_array_equal(np.asarray(by), np.asarray(pby))
+            sx, sy = ex, ey
+
+
 def test_framerate_pll_clamps_to_static_headroom():
     """The PLL delta must saturate at PLL_HEADROOM_FRAC * nominal: every
     resampler buffer (max_block_pixels, strided taps_eff) is statically
