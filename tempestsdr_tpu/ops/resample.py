@@ -286,15 +286,27 @@ def box_resample_strided(
     compute against gather efficiency — see bench/PROFILE.json for the
     measured sweep at the flagship geometry.
     """
-    import jax
-    from jax import lax as _lax
-
     plan = plan_strided(inv_nominal, taps, L=L)
     if plan is None:
         raise ValueError("geometry unsuitable for the strided form; use chunked")
-    m, taps_eff, L, margin = plan
-
     n_out, new_phase = resample_counts(phase_fix, inv_fix, n_samples)
+    pixels = _strided_pixels(
+        x_ext, phase_fix, inv_fix, n_out, plan=plan, max_pix=max_pix,
+        taps=taps, G=G,
+    )
+    return pixels, n_out, new_phase
+
+
+def _strided_pixels(x_ext, phase_fix, inv_fix, n_valid, *, plan, max_pix: int,
+                    taps: int, G: int):
+    """Shared core of the strided forms: pixels for a window-start phase
+    `phase_fix` (int64 fixed point, relative to x_ext's first post-tail
+    sample), masked past `n_valid`. See box_resample_strided for the
+    decomposition; box_resample_range_strided reuses it with a shifted
+    phase for an arbitrary global pixel range."""
+    from jax import lax as _lax
+
+    m, taps_eff, L, margin = plan
     inv_f = inv_fix.astype(jnp.float32) * jnp.float32(2.0 ** (-FRAC_BITS))
     rate_f = jnp.float32(1 << FRAC_BITS) / inv_fix.astype(jnp.float32)
     # drift per q from the exact fixed-point difference (f32-ing m*inv-1
@@ -360,8 +372,55 @@ def box_resample_strided(
         pixels = inter.reshape(-1)[:max_pix] * rate_f
     else:
         pixels = jnp.transpose(acc, (0, 2, 1)).reshape(-1)[:max_pix] * rate_f
-    valid = jnp.arange(max_pix, dtype=jnp.int32) < n_out
-    return jnp.where(valid, pixels, 0.0).astype(jnp.float32), n_out, new_phase
+    valid = jnp.arange(max_pix, dtype=jnp.int32) < n_valid
+    return jnp.where(valid, pixels, 0.0).astype(jnp.float32)
+
+
+def box_resample_range_strided(
+    x_local,
+    phase_fix,
+    inv_fix,
+    p_start,
+    p_end,
+    seg_offset,
+    *,
+    max_pix: int,
+    taps: int,
+    inv_nominal: float,
+    L: int | None = None,
+    G: int = 8,
+):
+    """Strided form of box_resample_range — the fast resampler for the
+    time-sharded body (round-4 VERDICT missing #3: the sharded step used
+    only the chunked form, leaving per-chip sharded throughput well below
+    the single-chip strided step).
+
+    Same contract as box_resample_range (shard-local samples with taps
+    halos, global pixel range [p_start, p_end), seg_offset = global sample
+    index of the segment start). Pixel p's window start relative to the
+    local segment is phase + p*inv - (seg_offset << FRAC_BITS) — exactly
+    the single-range strided problem with a shifted base phase, so the
+    whole decomposition (static shifted slices of G-aligned row-gathered
+    windows, MXU interleave) applies per shard unchanged. Chunks here are
+    aligned to p_start rather than the global pixel grid, so per-pixel f32
+    residuals can round differently from the single-chip strided form at
+    the ~1e-5-sample level (same class of difference as the chunked range
+    form; virtual-mesh equivalence is asserted at 1e-5 tolerance in
+    tests/test_parallel.py).
+    """
+    plan = plan_strided(inv_nominal, taps, L=L)
+    if plan is None:
+        raise ValueError("geometry unsuitable for the strided form; use chunked")
+    eff_phase = (
+        phase_fix
+        + p_start.astype(jnp.int64) * inv_fix
+        - (seg_offset.astype(jnp.int64) << FRAC_BITS)
+    )
+    n_local = jnp.maximum(p_end - p_start, 0).astype(jnp.int32)
+    return _strided_pixels(
+        x_local, eff_phase, inv_fix, n_local, plan=plan, max_pix=max_pix,
+        taps=taps, G=G,
+    )
 
 
 _ILV_T = 128
@@ -472,3 +531,33 @@ def nn_resample_block(x, phase_fix, inv_fix, *, n_samples: int, max_pix: int):
     idx = jnp.clip(q, 0, n_samples - 1).astype(jnp.int32)
     pixels = jnp.where(valid, jnp.take(x, idx), 0.0).astype(jnp.float32)
     return pixels, n_out, new_phase
+
+
+def nn_resample_range(x_full, n_out, p_start, p_end, *, n_samples: int,
+                      max_pix: int):
+    """Nearest-neighbour resample of a global pixel range — the time-sharded
+    NN mode (dsp.c:274-277 under SURVEY §5.7 sharding).
+
+    NN's per-block mapping out[p] = x[(size*p)//n_out] is GLOBAL in both p
+    and x (it ignores the fractional phase, so the sample index can deviate
+    from the box window's floor(a_p) by more than the halo width) — the
+    caller passes the full gathered envelope `x_full` (the autocorr feed
+    already all_gathers it) and this shard's pixel range. Same float-
+    approximation + exact int64 floor-correction as nn_resample_block.
+
+    Returns pixels f32[max_pix], entries past p_end - p_start zero.
+    """
+    n_out64 = jnp.maximum(n_out, 1).astype(jnp.int64)
+    p = p_start.astype(jnp.int64) + jnp.arange(max_pix, dtype=jnp.int64)
+    num = jnp.int64(n_samples) * p
+    ratio = jnp.float32(n_samples) / jnp.maximum(n_out, 1).astype(jnp.float32)
+    q = (p.astype(jnp.float32) * ratio).astype(jnp.int64)
+    q = jnp.where(q * n_out64 > num, q - 1, q)
+    q = jnp.where((q + 1) * n_out64 <= num, q + 1, q)
+    q = jnp.where(q * n_out64 > num, q - 1, q)  # second pass for safety
+
+    n_local = jnp.maximum(p_end - p_start, 0).astype(jnp.int32)
+    valid = jnp.arange(max_pix, dtype=jnp.int32) < n_local
+    idx = jnp.clip(q, 0, n_samples - 1).astype(jnp.int32)
+    pixels = jnp.where(valid, jnp.take(x_full, idx), 0.0).astype(jnp.float32)
+    return pixels

@@ -33,7 +33,13 @@ from ..config import FRAC_BITS, PipelineConfig
 from ..params import Params
 from ..ops.demod import am_demod, normalize_iq
 from ..ops.fir import design_lowpass_fir
-from ..ops.resample import box_resample_range, resample_counts
+from ..ops.resample import (
+    box_resample_range,
+    box_resample_range_strided,
+    nn_resample_range,
+    plan_strided,
+    resample_counts,
+)
 from ..ops.autocorr import accumulate_running_mean, autocorrelation_magnitude
 from ..stream.pipeline import StepControls, _post_process
 from ..stream.state import StreamState, StepOutputs
@@ -47,8 +53,6 @@ def _make_body(config: PipelineConfig, params: Params, T: int):
     """Per-device body of the time-sharded step (runs inside shard_map over
     the 'time' axis; vmap-able over a local channel axis for the combined
     {ch, time} grid)."""
-    if params.nearest_neighbour:
-        raise NotImplementedError("time-sharded NN resampling not implemented")
     if config.frames_per_block > 1:
         raise ValueError(
             "time-sharded step supports one frame per block (the wideband "
@@ -78,6 +82,16 @@ def _make_body(config: PipelineConfig, params: Params, T: int):
         fir_taps = jnp.asarray(
             design_lowpass_fir(fir_n, min(1.0 / config.samples_per_pixel, 0.98))
         )
+    # resampler routing (mirrors the single-chip _pick_resampler): the
+    # strided form whenever the geometry plan exists and the caller didn't
+    # pin the chunked one; Mosaic variants fall back to the XLA strided form
+    # inside shard_map (same carries/weights, no kernel dependency)
+    nn_mode = bool(params.nearest_neighbour)
+    use_strided = (
+        not nn_mode
+        and params.resampler != "chunked"
+        and plan_strided(config.samples_per_pixel, config.resample_taps) is not None
+    )
 
     def _shift_right(seg_tail):
         """Send each shard's tail to its right neighbour (left halo)."""
@@ -150,14 +164,6 @@ def _make_body(config: PipelineConfig, params: Params, T: int):
         else:
             fir_tail = state.fir_tail
 
-        # ---- resampler halos (post-FIR envelope)
-        left = _shift_right(env[S - taps:])
-        left = jnp.where(t_idx == 0, state.tail, left)
-        right = lax.ppermute(env[:taps], "time", [(i, i - 1) for i in range(1, T)])
-        x_local = jnp.concatenate([left, env, right])  # (S + 2*taps,)
-        tails = lax.all_gather(env[S - taps:], "time")
-        new_tail = tails[T - 1]
-
         # ---- per-shard pixel range from the exact phase (no communication)
         delta = state.pll.refresh_delta
         corr_factor = delta / (jnp.float32(config.refreshrate) + delta)
@@ -173,17 +179,40 @@ def _make_body(config: PipelineConfig, params: Params, T: int):
         p_end = jnp.clip(
             _ceil_div(((seg_start + S) << FRAC_BITS) - phase, inv_fix), 0, n_out64
         )
-        pix_local = box_resample_range(
-            x_local,
-            phase,
-            inv_fix,
-            p_start,
-            p_end,
-            seg_start,
-            max_pix=max_pix_local,
-            taps=taps,
-            inv_nominal=config.samples_per_pixel,
-        )
+
+        if nn_mode:
+            # NN's sample index (n*p)//n_out ignores the phase, so it can
+            # land outside the taps halo — resample from the full gathered
+            # post-FIR envelope instead (dsp.c:274-277 global mapping)
+            env_full_rs = lax.all_gather(env, "time", tiled=True)  # (n,)
+            pix_local = nn_resample_range(
+                env_full_rs, n_out, p_start, p_end,
+                n_samples=n, max_pix=max_pix_local,
+            )
+            new_tail = env_full_rs[n - taps:]
+        else:
+            # resampler halos (post-FIR envelope)
+            left = _shift_right(env[S - taps:])
+            left = jnp.where(t_idx == 0, state.tail, left)
+            right = lax.ppermute(env[:taps], "time",
+                                 [(i, i - 1) for i in range(1, T)])
+            x_local = jnp.concatenate([left, env, right])  # (S + 2*taps,)
+            tails = lax.all_gather(env[S - taps:], "time")
+            new_tail = tails[T - 1]
+            range_resample = (
+                box_resample_range_strided if use_strided else box_resample_range
+            )
+            pix_local = range_resample(
+                x_local,
+                phase,
+                inv_fix,
+                p_start,
+                p_end,
+                seg_start,
+                max_pix=max_pix_local,
+                taps=taps,
+                inv_nominal=config.samples_per_pixel,
+            )
 
         # ---- manual sync skip + fold via psum (add == place: slots past the
         # fold fill are zero by invariant)

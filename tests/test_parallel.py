@@ -120,6 +120,79 @@ def test_time_sharded_with_fir_matches_single_chip():
     np.testing.assert_allclose(last1, lastT, rtol=2e-3, atol=2e-3)
 
 
+def test_time_sharded_nn_matches_single_chip():
+    """Nearest-neighbour mode under time sharding (dsp.c:274-277): NN's
+    global (n*p)//n_out mapping resamples from the gathered envelope; frames
+    and integer carries must match the single-chip NN step."""
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    params = Params(framerate_pll=False, nearest_neighbour=True)
+    mesh = make_mesh(n_channel=1, n_time=8)
+    blocks = gen_blocks(24, cfg.block_samples)
+    ctrl = StepControls.default()
+    step1 = jax.jit(make_step(cfg, params))
+    stepT = make_time_sharded_step(cfg, params, mesh)
+    s1 = init_state(cfg)
+    sT = init_state(cfg)
+    frames = 0
+    for b, blk in enumerate(blocks):
+        raw = jnp.asarray(blk)
+        s1, o1 = step1(s1, raw, ctrl)
+        sT, oT = stepT(sT, raw, ctrl)
+        assert int(o1.n_pixels) == int(oT.n_pixels), b
+        assert bool(o1.frame_valid) == bool(oT.frame_valid), b
+        if bool(o1.frame_valid):
+            frames += 1
+            np.testing.assert_allclose(
+                np.asarray(o1.frame), np.asarray(oT.frame), rtol=2e-3, atol=2e-3
+            )
+    assert frames > 0
+    assert int(s1.phase_fix) == int(sT.phase_fix)
+    assert int(s1.fill) == int(sT.fill)
+
+
+def test_box_resample_range_strided_matches_chunked():
+    """The strided range form (the sharded fast path) must agree with the
+    chunked range form on identical shard inputs — same windows/weights, the
+    only difference is f32 residual rounding (~1e-5 sample)."""
+    from tempestsdr_tpu.config import FRAC_BITS
+    from tempestsdr_tpu.ops.resample import (
+        box_resample_range,
+        box_resample_range_strided,
+        resample_counts,
+    )
+
+    rng = np.random.default_rng(3)
+    inv = 0.497  # ~2x oversampled geometry -> strided plan exists
+    inv_fix = jnp.int64(round(inv * (1 << FRAC_BITS)))
+    taps = 2
+    S, T = 8192, 4
+    n = S * T
+    env = rng.normal(size=n).astype(np.float32) ** 2
+    tail = np.zeros(taps, np.float32)
+    phase = jnp.int64(-(1 << (FRAC_BITS - 2)))
+    n_out, _ = resample_counts(phase, inv_fix, n)
+    max_pix_local = int(S / inv * 1.02) + 2
+    x_full = np.concatenate([tail, env, np.zeros(taps, np.float32)])
+    for t in range(T):
+        seg = jnp.int64(t * S)
+        x_local = jnp.asarray(x_full[t * S : t * S + S + 2 * taps])
+        lo = -((-((seg << FRAC_BITS) - phase)) // inv_fix)  # ceil_div
+        hi = -((-(((seg + S) << FRAC_BITS) - phase)) // inv_fix)
+        p_start = jnp.clip(lo, 0, n_out.astype(jnp.int64))
+        p_end = jnp.clip(hi, 0, n_out.astype(jnp.int64))
+        a = box_resample_range(
+            x_local, phase, inv_fix, p_start, p_end, seg,
+            max_pix=max_pix_local, taps=taps, inv_nominal=inv,
+        )
+        b = box_resample_range_strided(
+            x_local, phase, inv_fix, p_start, p_end, seg,
+            max_pix=max_pix_local, taps=taps, inv_nominal=inv,
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_channel_dp_matches_per_channel():
     """8 channels sharded over 8 devices == 8 independent single-chip runs."""
     cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
@@ -153,6 +226,56 @@ def test_channel_dp_matches_per_channel():
             if bool(o.frame_valid):
                 last = np.asarray(o.frame)
         np.testing.assert_allclose(frames_dp[c], last, rtol=1e-4, atol=1e-5)
+
+
+def test_channel_dp_multiframe_matches_per_channel():
+    """K>1 multi-frame emit through the sharded channels path (round-4
+    VERDICT #8): make_channel_step with blocks spanning ~2.5 frames must
+    reproduce independent single-chip runs frame-for-frame, in stream
+    order, on the 8-device 'ch' mesh."""
+    big = 49152  # ~2.46 frames at SR/REFRESH=20000 samples/frame -> K=3
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=big, autocorr=False)
+    assert cfg.frames_per_block >= 2
+    params = Params(framerate_pll=False)
+    mesh = make_mesh(n_channel=8, n_time=1)
+    C = 8
+    n_blocks = 6
+
+    per_ch_blocks = [gen_blocks(n_blocks, big, seed=c) for c in range(C)]
+
+    stepC = make_channel_step(cfg, params, mesh)
+    states = stack_states(cfg, C)
+    ctrl = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (C,) + x.shape),
+                        StepControls.default())
+    frames_dp = {c: [] for c in range(C)}
+    for b in range(n_blocks):
+        raws = jnp.stack([jnp.asarray(per_ch_blocks[c][b]) for c in range(C)])
+        states, outs = stepC(states, raws, ctrl)
+        fv = np.asarray(outs.frame_valid)  # (C, K)
+        fr = np.asarray(outs.frame)        # (C, K, H, W)
+        for c in range(C):
+            for k in range(fv.shape[1]):
+                if fv[c, k]:
+                    frames_dp[c].append(fr[c, k])
+
+    step1 = jax.jit(make_step(cfg, params))
+    for c in [0, 2, 7]:
+        s = init_state(cfg)
+        got = []
+        for b in range(n_blocks):
+            s, o = step1(s, jnp.asarray(per_ch_blocks[c][b]),
+                         StepControls.default())
+            fv = np.asarray(o.frame_valid)
+            fr = np.asarray(o.frame)
+            for k in range(fv.shape[0]):
+                if fv[k]:
+                    got.append(fr[k])
+        assert len(got) == len(frames_dp[c]) and len(got) >= n_blocks
+        for a, b2 in zip(frames_dp[c], got):
+            np.testing.assert_allclose(a, b2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(states.frame_count[c]),
+                                      np.asarray(s.frame_count))
 
 
 def test_channels_step_matches_per_channel():
