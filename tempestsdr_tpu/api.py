@@ -48,7 +48,7 @@ class TSDR:
         on_value: Optional[Callable[[ValueEvent], None]] = None,
         on_plot: Optional[Callable[[PlotEvent], None]] = None,
         block_samples: int = 1 << 16,
-        batch_blocks: int = 1,
+        batch_blocks: int | str = 1,
     ):
         self._callbacks = SessionCallbacks(on_value=on_value, on_plot=on_plot)
         self._batch_blocks = batch_blocks

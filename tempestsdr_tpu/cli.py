@@ -40,9 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=None, help="stop after N frames")
     p.add_argument("--blocks", type=int, default=None, help="stop after N blocks")
     p.add_argument("--block-samples", type=int, default=1 << 16)
-    p.add_argument("--batch-blocks", type=int, default=1,
+    p.add_argument("--batch-blocks", default=None,
                    help="blocks per device dispatch (amortizes dispatch "
-                        "latency; adds control latency)")
+                        "latency; adds control latency). An integer, or "
+                        "'auto' to size from the measured dispatch floor "
+                        "under a 250 ms control-latency cap. Default: 1 "
+                        "(lowest latency); --tui defaults to auto")
     p.add_argument("--out", default=None, help="directory for frame snapshots")
     p.add_argument("--plot-out", default=None,
                    help="directory for rendered autocorr plot images "
@@ -263,8 +266,16 @@ def main(argv=None) -> int:
                     height, rate = est.mode.height, est.mode.refreshrate
                 stop_after_warm(height, rate)
 
+    # --tui is the live-interactive mode: default to floor-aware auto
+    # batching (250 ms control-latency cap); headless replay keeps batch=1
+    # unless the caller sizes it
+    batch = args.batch_blocks
+    if batch is None:
+        batch = "auto" if args.tui else 1
+    elif batch != "auto":
+        batch = int(batch)
     rx = TSDR(on_value=on_value, on_plot=on_plot, block_samples=args.block_samples,
-              batch_blocks=args.batch_blocks)
+              batch_blocks=batch)
     rx.load_source(args.source, args.source_params)
     rx.set_resolution(args.height, args.rate)
     if args.freq is not None:

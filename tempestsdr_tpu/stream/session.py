@@ -43,6 +43,20 @@ _WARM_LOCK = threading.Lock()
 _WARM_STEPS: dict = {}
 
 
+def resolve_batch_blocks(config: PipelineConfig, batch_blocks,
+                         latency_s: float = 0.25) -> int:
+    """Resolve a Session batch_blocks argument: an int passes through;
+    "auto" sizes the batch from the measured dispatch floor vs the block's
+    real-time duration under a control-latency cap (utils.profiling.
+    auto_batch_blocks). Shared by Session and warm_compile_step so a warm
+    key resolved here matches the session's."""
+    if batch_blocks == "auto":
+        from ..utils.profiling import auto_batch_blocks
+
+        return auto_batch_blocks(config, latency_s=latency_s)
+    return max(int(batch_blocks), 1)
+
+
 def _build_step_fns(config: PipelineConfig, params: Params, batch_blocks: int):
     step = jax.jit(make_step(config, params), donate_argnums=0)
     scan = None
@@ -65,13 +79,17 @@ def _build_step_fns(config: PipelineConfig, params: Params, batch_blocks: int):
 
 
 def warm_compile_step(config: PipelineConfig, params: Params, *,
-                      batch_blocks: int = 1, raw_dtype=np.float32):
+                      batch_blocks=1, raw_dtype=np.float32,
+                      max_control_latency_s: float = 0.25):
     """Build AND compile the jitted step a future Session(config, params,
     batch_blocks) will use, so that session's first block pays no compile.
     Blocking (returns once the executable is ready); call from a background
     thread to overlap with a live session — in-process dispatches interleave
     safely. raw_dtype must match the source's block dtype
-    (Source.block_dtype()) or the warm executable won't be the one used."""
+    (Source.block_dtype()) or the warm executable won't be the one used.
+    batch_blocks may be "auto" (resolved like Session's)."""
+    batch_blocks = resolve_batch_blocks(config, batch_blocks,
+                                        max_control_latency_s)
     key = (config, params, int(batch_blocks))
     with _WARM_LOCK:
         fns = _WARM_STEPS.get(key)
@@ -133,17 +151,27 @@ class Session:
         params: Params,
         source: Source,
         callbacks: SessionCallbacks | None = None,
-        batch_blocks: int = 1,
+        batch_blocks: int | str = 1,
+        max_control_latency_s: float = 0.25,
     ):
         """batch_blocks > 1 scans that many blocks per device dispatch —
         amortizes host/dispatch latency (essential through remote-TPU
         tunnels, useful everywhere at high sample rates) at the cost of
-        batch_blocks x block latency for interactive controls."""
+        batch_blocks x block latency for interactive controls.
+
+        batch_blocks="auto" sizes the batch from the measured per-dispatch
+        floor vs the block's real-time duration so a live session both
+        keeps up with real time (floor share <= ~10 % of the stream
+        cadence) and honors max_control_latency_s — the worst-case delay
+        before an interactive control takes effect with a throttled
+        source. Explicit batch_blocks=1 stays available for lowest
+        latency; benchmarking replay should size batches explicitly."""
         self.config = config
         self.params = params
         self.source = source
         self.callbacks = callbacks or SessionCallbacks()
-        self.batch_blocks = max(int(batch_blocks), 1)
+        self.batch_blocks = resolve_batch_blocks(config, batch_blocks,
+                                                 max_control_latency_s)
         self._pending_params: Optional[Params] = None
         self._build_steps(params)
         self.state: StreamState = init_state(config, params.fir_lowpass_taps)
