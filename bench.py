@@ -118,7 +118,12 @@ def _emit_final(configs, extra=None):
 def _plan_order(only, channels):
     if channels:
         only = 5
-    plan = [4, 1, 2, 3, 5]  # flagship first: the headline must exist
+    # configs 3+5 first: they are the ones the round-4 official run lost to a
+    # mid-run relay death (the flagship ran first and survived; the cheap
+    # configs at the tail degraded to CPU). With the compile cache warm every
+    # config is seconds of compile, so the flagship keeps its slot well
+    # inside the budget at position 3.
+    plan = [3, 5, 4, 1, 2]
     return [n for n in plan if only is None or n == only]
 
 
@@ -140,6 +145,11 @@ def parent_main():
     t0 = time.monotonic()
     only = _arg("--config")
     channels = _arg("--channels")
+    budget_s = BUDGET_S
+    if channels and channels >= 16:
+        # north-star channel counts compile for tens of minutes cold; give
+        # the explicit variant room (the default 5-config run is unchanged)
+        budget_s = max(BUDGET_S, 3600.0)
     remaining = _plan_order(only, channels)
     for p in (PARTIAL_PATH, PARTIAL_PATH + ".hang_done"):
         try:
@@ -152,7 +162,7 @@ def parent_main():
     stalls = 0
     passthrough = [a for a in sys.argv[1:] if a not in ("--child",)]
     while remaining and spawns < MAX_SPAWNS:
-        if time.monotonic() - t0 > BUDGET_S:
+        if time.monotonic() - t0 > budget_s:
             print("# parent: budget exhausted", file=sys.stderr)
             break
         spawns += 1
@@ -171,8 +181,13 @@ def parent_main():
             if cur != seen:
                 seen = cur
                 last_progress = now
-            stalled = now - last_progress > STALL_S
-            over = now - t0 > BUDGET_S + min(60, BUDGET_S)
+            # a child may declare a bigger stall window before its first
+            # heartbeat (e.g. --channels 32: the hybrid step's cold compile
+            # alone exceeds the default window; a wedged claim still writes
+            # nothing, so wedge detection survives with a longer fuse)
+            stall_s = float(part.get("_stall_hint") or STALL_S)
+            stalled = now - last_progress > stall_s
+            over = now - t0 > budget_s + min(60, budget_s)
             if stalled or over:
                 why = "stalled (wedged claim?)" if stalled else "over budget"
                 print(f"# parent: killing child — {why}", file=sys.stderr)
@@ -197,10 +212,24 @@ def parent_main():
     missing = [n for n in _plan_order(only, channels)
                if f"config{n}" not in configs]
     if missing and stalls and os.environ.get("TSDR_BENCH_NO_FALLBACK") != "1":
+        # The relay was unreachable in the main loop. Before degrading to
+        # CPU, grant ONE more TPU attempt with a fresh stall window even if
+        # the main budget is gone (round-4 lesson: the relay died mid-run
+        # and came back; the CPU fallback fired without re-trying TPU). The
+        # retry trail lands in the final record either way.
+        print(f"# parent: TPU lost after {stalls} stalled attempt(s); "
+              f"one TPU retry for configs {missing}", file=sys.stderr)
+        retry_done = _run_tpu_retry(missing, passthrough)
+        configs = _load_partial(PARTIAL_PATH)
+        still = [n for n in _plan_order(only, channels)
+                 if f"config{n}" not in configs]
+        extra["tpu_retry"] = {"attempted": missing, "completed": retry_done}
+        missing = still
+    if missing and stalls and os.environ.get("TSDR_BENCH_NO_FALLBACK") != "1":
         # every TPU attempt stalled on the claim: degrade the missing configs
         # to a CPU-backend run (flagged) — some number beats a zero record
-        print(f"# parent: TPU unreachable after {stalls} stalled attempt(s); "
-              f"CPU fallback for configs {missing}", file=sys.stderr)
+        print(f"# parent: TPU unreachable after {stalls} stalled attempt(s) "
+              f"+ 1 retry; CPU fallback for configs {missing}", file=sys.stderr)
         fb_done = _run_fallback(missing, passthrough)
         configs = _load_partial(PARTIAL_PATH)
         missing = [n for n in _plan_order(only, channels)
@@ -218,19 +247,49 @@ def parent_main():
 def _run_fallback(missing, passthrough):
     """Run the missing configs in a CPU-forced child (bounded by
     FALLBACK_BUDGET_S); returns the list of configs it completed."""
+    env = dict(os.environ, TSDR_BENCH_CPU="1", TSDR_BENCH_FALLBACK="1")
+    return _run_bounded_child(missing, passthrough, env, FALLBACK_BUDGET_S,
+                              label="CPU fallback", stall_kill=False)
+
+
+def _run_tpu_retry(missing, passthrough):
+    """One last TPU attempt after the main loop lost the relay: a fresh
+    child (fresh session claim) with a single stall window. Completed
+    configs land in the partial file like any other attempt; a still-wedged
+    relay costs exactly one more STALL_S."""
+    return _run_bounded_child(missing, passthrough, dict(os.environ),
+                              STALL_S + 120.0, label="TPU retry",
+                              stall_kill=True)
+
+
+def _run_bounded_child(missing, passthrough, env, budget, *, label,
+                       stall_kill):
     import subprocess
 
     before = _done_set(_load_partial(PARTIAL_PATH))
-    env = dict(os.environ, TSDR_BENCH_CPU="1", TSDR_BENCH_FALLBACK="1")
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
            "--configs", ",".join(map(str, missing))] + passthrough
     child = subprocess.Popen(cmd, env=env)
     t0 = time.monotonic()
+    part = _load_partial(PARTIAL_PATH)
+    seen = (_done_set(part), part.get("_heartbeat"))
+    last_progress = t0
     while child.poll() is None:
         time.sleep(2)
-        if time.monotonic() - t0 > FALLBACK_BUDGET_S:
-            print("# parent: killing CPU fallback — over budget",
-                  file=sys.stderr)
+        now = time.monotonic()
+        if stall_kill:
+            part = _load_partial(PARTIAL_PATH)
+            cur = (_done_set(part), part.get("_heartbeat"))
+            if cur != seen:
+                seen = cur
+                last_progress = now
+            if now - last_progress > STALL_S:
+                print(f"# parent: killing {label} — stalled", file=sys.stderr)
+                child.kill()
+                child.wait()
+                break
+        if now - t0 > budget:
+            print(f"# parent: killing {label} — over budget", file=sys.stderr)
             child.kill()
             child.wait()
             break
@@ -259,6 +318,18 @@ def child_main():
         always = os.environ.get("TSDR_BENCH_HANG_ALWAYS_S")
         if always:
             time.sleep(float(always))  # a relay wedged for the whole run
+
+    ch_hint = _arg("--channels")
+    if ch_hint and ch_hint >= 16:
+        # declare the longer stall window BEFORE the session claim: a
+        # 32-channel hybrid step cold-compiles for far longer than the
+        # default window (C=8 already takes 315-420 s), and the first
+        # heartbeat only lands after that compile. A wedged claim never
+        # writes the hint's follow-up heartbeats, so the parent still
+        # detects it — just with a longer fuse for this explicit variant.
+        part = _load_partial(PARTIAL_PATH)
+        part["_stall_hint"] = 2400.0
+        _flush_partial(PARTIAL_PATH, part)
 
     import jax
 
@@ -467,6 +538,7 @@ class BenchRunner:
         pos = 0
         est = None
         t0 = time.monotonic()
+        compile_wall = None
         # at block 786432 each block is 49 ms of signal; detection converges
         # in ~5 blocks, so 4 blocks/dispatch and a 40-block budget keep the
         # host synth cost bounded while leaving 8x headroom
@@ -481,8 +553,14 @@ class BenchRunner:
                 for i in range(B)
             ])
             state, (valids, fplots, lplots) = det_scan(state, jnp.asarray(blks))
+            valids = np.asarray(valids)  # fetch = the dispatch completed
+            if compile_wall is None:
+                # the first dispatch's wall is dominated by the det_scan
+                # cold compile — report it separately so detect_wall does
+                # not silently absorb a ~150 s compile (round-4 VERDICT
+                # weak #2: r04 recorded 159.24 s wall for 0.246 s of signal)
+                compile_wall = time.monotonic() - t0
             _heartbeat()  # detection dispatch (first one pays a compile)
-            valids = np.asarray(valids)
             for i in np.nonzero(valids)[0]:
                 tracker.feed(PlotEvent(PLOT_ID.FRAME, f_off,
                                        np.asarray(fplots[i]), sr))
@@ -499,6 +577,10 @@ class BenchRunner:
             ok = abs(est.refreshrate - refresh) < 0.5 and abs(est.height - lines) <= 6
             r["detect_signal_s"] = round(pos / sr, 3)
             r["detect_wall_s"] = round(wall, 2)
+            # split: first-dispatch wall (≈ the det_scan compile; ~0 when
+            # the compile cache is warm) vs the post-compile detection wall
+            r["detect_compile_s"] = round(compile_wall or 0.0, 2)
+            r["detect_wall_post_s"] = round(wall - (compile_wall or 0.0), 2)
             r["detect_correct"] = bool(ok)
         else:
             r["detect_correct"] = False
@@ -837,6 +919,33 @@ def bench_mesh():
         ch_curve[C] = round((time.monotonic() - t0) / K * 1e3, 2)
         print(f"# mesh ch={C}: {ch_curve[C]} ms/block", file=sys.stderr)
 
+    # north-star channel count (BASELINE.json config 5: 32 simultaneous
+    # channels) at 4 channels per device on the 8-device mesh — the pod
+    # shape's virtual-mesh stand-in (round-4 VERDICT missing #1)
+    C32 = 32
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]).reshape(8), ("ch",))
+    cstep32 = make_channel_step(cfg, params, mesh, n_channels=C32)
+    ctrl32 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (C32,) + x.shape),
+        StepControls.default())
+    K32 = 2 if quick else max(K // 2, 2)
+    craws32 = jnp.asarray(rng.integers(
+        0, 256, size=(K32, C32, 2 * block), dtype=np.uint8))
+
+    def crun32(states, craws):
+        for i in range(craws.shape[0]):
+            states, out = cstep32(states, craws[i], ctrl32)
+        return states, out.frame_valid
+
+    states32 = stack_states(cfg, C32)
+    states32, _ = crun32(states32, craws32)  # warmup/compile
+    t0 = time.monotonic()
+    states32, fv32 = crun32(states32, craws32)
+    _ = np.asarray(fv32)
+    ch32_ms = round((time.monotonic() - t0) / K32 * 1e3, 2)
+    print(f"# mesh ch=32 over 8 devices (4/dev): {ch32_ms} ms/block",
+          file=sys.stderr)
+
     # Contention control (round-2 verdict weak #6): the DP curve CANNOT beat
     # total_work / host_cores on a virtual mesh — unlike time-sharding, DP
     # multiplies total work by C (every channel runs the full pipeline), so
@@ -880,6 +989,7 @@ def bench_mesh():
         "channel_dp_ms_per_block": ch_curve,
         "channel_dp_efficiency_at_8": round(ch_curve[1] / ch_curve[8], 2),
         "channel_dp_8ch_single_device_ms": one_dev8,
+        "channel_dp_32ch_over_8dev_ms": ch32_ms,
         "host_cores": cores,
         # sharded vs the SAME total work on one device: the clean statement
         # of what the 'ch' sharding buys on an N-core virtual mesh (ideal =
