@@ -187,13 +187,17 @@ def find_the_sweet_spot_pair(
     """Both axes' detection rounds (syncdetector.c:176-186 calls
     findthesweetspot twice per frame) fused into one batched search.
 
-    The per-frame sync search is the dominant emit-body cost at narrowband
-    geometry (bench/ROUND4_PROBE7.json: ~161 us/frame, 73 % of the post
-    body) and is kernel-count-bound, not FLOP-bound: the profiles are a few
-    hundred f64 elements. Fusing the axes halves the kernel count — ONE
-    doubled cumsum over a zero-padded (2, 2L) matrix (each row's prefix is
-    unaffected by trailing zeros), ten batched window slices, one shared
-    metric + masked argmax over (10, L).
+    MEASURED NEGATIVE RESULT on the real TPU runtime — kept as the A/B
+    variant and for CPU-bound embedders, NOT used by the production step.
+    The fusion halves the kernel count (ONE doubled cumsum over a
+    zero-padded (2, 2L) matrix, ten batched window slices, one shared
+    metric + masked argmax over (10, L)), and wins ~25 % on CPU; but the
+    padding to the longer axis grows the emulated-f64 cumsum/metric work,
+    and on TPU that loses to the launch savings: +23 % on the isolated
+    search (249.1 vs 202.7 us/frame) and +18 % on the full post body
+    (253.9 vs 215.4), one-session A/B in bench/ROUND5_PROBE.json. The
+    kernel-count hypothesis failed the same way the batched cond_mode did
+    (pipeline.py make_channels_step_hybrid notes).
 
     Numerics: identical candidate math to find_the_sweet_spot; the only
     potential divergence is f64 summation-tree rounding inside the batched

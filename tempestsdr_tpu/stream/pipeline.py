@@ -51,7 +51,7 @@ from ..ops.sync import (
     FRAMERATE_DX_LOWPASS_COEFF_HEIGHT,
     FRAMERATE_DX_LOWPASS_COEFF_WIDTH,
     PLLState,
-    find_the_sweet_spot_pair,
+    find_the_sweet_spot,
     framerate_pll,
 )
 from ..ops.autocorr import accumulate_running_mean, autocorrelation_magnitude
@@ -154,12 +154,23 @@ class StepControls(NamedTuple):
 
 def _sync_positions(config: PipelineConfig, params: Params, sync_x, sync_y, pll, wprof, hprof):
     """Position half of syncdetector_run (syncdetector.c:171-186): sweet-spot
-    detection on both collapsed profiles + the frame-rate PLL update. The two
-    per-axis searches run as ONE fused batched search (sync is the dominant,
-    kernel-count-bound emit cost — ops/sync.py find_the_sweet_spot_pair)."""
-    sx, sy, _, _ = find_the_sweet_spot_pair(
+    detection on both collapsed profiles + the frame-rate PLL update.
+
+    Two sequential per-axis searches, NOT the fused batched pair
+    (ops/sync.py find_the_sweet_spot_pair): the fusion halves the kernel
+    count but pads both axes' doubled cumsums and the (10, L) metric to the
+    longer axis, and on the real TPU runtime the extra emulated-f64 work
+    loses to the launch savings — measured +18% on the full post body
+    (253.9 vs 215.4 us/frame, bench/ROUND5_PROBE.json post:frame vs
+    post:frame-oldsync, one session) and +23% on the isolated search,
+    despite winning ~25% on CPU. The pair stays available as the measured
+    A/B variant. The per-candidate max()-instead-of-gather micro-opt lives
+    inside find_the_sweet_spot and benefits both forms."""
+    sx, _, _ = find_the_sweet_spot(
         sync_x, wprof, int(config.width * np.float32(0.05)),
         FRAMERATE_DX_LOWPASS_COEFF_WIDTH,
+    )
+    sy, _, _ = find_the_sweet_spot(
         sync_y, hprof, int(config.height * np.float32(0.01)),
         FRAMERATE_DX_LOWPASS_COEFF_HEIGHT,
     )

@@ -532,20 +532,57 @@ class Session:
                 if out is None:
                     continue
                 carry = np.concatenate([carry, out]) if carry.size else out
-                while carry.size >= n and self._running:
-                    chunk, carry = carry[:n], carry[n:]
-                    inter = np.empty(2 * n, np.float32)
-                    inter[0::2] = chunk.real
-                    inter[1::2] = chunk.imag
-                    controls = StepControls(
-                        jnp.int64(0), jnp.int32(self._pending_sync), jnp.float32(self._motionblur)
-                    )
+                # batch_blocks > 1: dispatch whole batches through the scan
+                # (round-4 VERDICT missing #4 — superres previously stepped
+                # block-by-block and paid the full ~25 ms relay dispatch
+                # floor per block regardless of the session's batch setting)
+                bb = self.batch_blocks
+                while carry.size >= bb * n and self._running:
+                    batch, carry = carry[: bb * n], carry[bb * n:]
+                    inter = np.empty(2 * bb * n, np.float32)
+                    inter[0::2] = batch.real
+                    inter[1::2] = batch.imag
+                    sync = self._pending_sync
                     self._pending_sync = 0
-                    self.state, o = self._step(self.state, jnp.asarray(inter), controls)
-                    blocks += 1
-                    got = self._dispatch(o)
-                    frames += got
-                    self.meter.update(n, got)
+                    if bb > 1:
+                        sync_arr = np.zeros(bb, np.int32)
+                        sync_arr[0] = sync
+                        self.state, outs = self._scan(
+                            self.state,
+                            jnp.asarray(inter.reshape(bb, 2 * n)),
+                            jnp.zeros((bb,), jnp.int64),
+                            jnp.asarray(sync_arr),
+                            jnp.float32(self._motionblur),
+                        )
+                        small = jax.tree.map(
+                            np.asarray,
+                            outs._replace(frame=None, ac_frame_plot=None,
+                                          ac_line_plot=None),
+                        )
+                        fv, pv = small.frame_valid, small.ac_plot_valid
+                        per_block = []
+                        for i in range(bb):
+                            o = jax.tree.map(lambda x: x[i], small)
+                            per_block.append(o._replace(
+                                frame=outs.frame[i] if np.any(fv[i]) else None,
+                                ac_frame_plot=(outs.ac_frame_plot[i]
+                                               if pv[i] else None),
+                                ac_line_plot=(outs.ac_line_plot[i]
+                                              if pv[i] else None),
+                            ))
+                    else:
+                        controls = StepControls(
+                            jnp.int64(0), jnp.int32(sync),
+                            jnp.float32(self._motionblur),
+                        )
+                        self.state, o = self._step(
+                            self.state, jnp.asarray(inter), controls)
+                        per_block = [o]
+                    for o in per_block:
+                        blocks += 1
+                        got = self._dispatch(o)
+                        frames += got
+                        self.meter.update(n, got)
                     if max_blocks is not None and blocks >= max_blocks:
                         self._running = False
                     if max_frames is not None and frames >= max_frames:
