@@ -873,6 +873,27 @@ def bench_mesh():
     K = 4 if quick else 12
     rng = np.random.default_rng(0)
     raws = jnp.asarray(rng.integers(0, 256, size=(K, 2 * block), dtype=np.uint8))
+
+    # plain single-chip step at the same geometry: the baseline that makes
+    # the T=1 sharded row interpretable (sharded-body overhead = T1/single)
+    from tempestsdr_tpu.stream import make_step
+
+    sstep = jax.jit(make_step(cfg, params))
+    sctrl = StepControls.default()
+
+    def srun(state, raws):
+        for i in range(raws.shape[0]):
+            state, out = sstep(state, raws[i], sctrl)
+        return state, out.frame_valid
+
+    sstate = init_state(cfg)
+    sstate, _ = srun(sstate, raws)  # warmup/compile
+    t0 = time.monotonic()
+    sstate, sfv = srun(sstate, raws)
+    _ = np.asarray(sfv)
+    single_ms = round((time.monotonic() - t0) / K * 1e3, 2)
+    print(f"# mesh single-chip step: {single_ms} ms/block", file=sys.stderr)
+
     curve = {}
     for T in (1, 2, 4, 8):
         mesh = Mesh(np.asarray(jax.devices("cpu")[:T]).reshape(T), ("time",))
@@ -986,6 +1007,8 @@ def bench_mesh():
         "unit": "x_T1_blocktime_at_T8",
         "vs_baseline": 0.0,
         "curve_ms_per_block": curve,
+        "single_chip_ms_per_block": single_ms,
+        "timeshard_overhead_at_T1": round(curve[1] / max(single_ms, 1e-9), 2),
         "channel_dp_ms_per_block": ch_curve,
         "channel_dp_efficiency_at_8": round(ch_curve[1] / ch_curve[8], 2),
         "channel_dp_8ch_single_device_ms": one_dev8,
