@@ -692,6 +692,10 @@ def _select_tree(pred, a, b):
 def make_channels_step(config: PipelineConfig, params: Params, n_channels: int = 0):
     """Uniform-cadence multi-channel step (config 5 on one chip).
 
+    MEASUREMENT/EQUIVALENCE SURFACE on the current runtime — see
+    make_multi_step's note; production multi-channel is
+    make_channels_step_hybrid. Design:
+
     A plain vmap(step) turns every lax.cond into a select, so the FFT round
     and the per-frame post-process execute for EVERY channel on EVERY block.
     Here only the cheap per-sample work is vmapped unconditionally; the heavy
@@ -740,9 +744,16 @@ def make_channels_step(config: PipelineConfig, params: Params, n_channels: int =
 
 def make_multi_step(config: PipelineConfig, params: Params):
     """vmapped multi-channel step: leading channel axis on state, raw blocks
-    and controls (BASELINE.json config 5 — independent emitters). Prefer
-    make_channels_step, which avoids executing both cond branches per
-    channel per block."""
+    and controls (BASELINE.json config 5 — independent emitters).
+
+    MEASUREMENT/EQUIVALENCE SURFACE, not a production path: fully-vmapped
+    programs are the class that faults the current remote TPU runtime
+    (STATUS.md round 2) and run both cond branches per channel per block.
+    Production multi-channel is make_channels_step_hybrid (single chip) /
+    parallel.channels.make_channel_step (sharded); this form and the
+    any()-gated make_channels_step stay as the cross-checked baselines the
+    equivalence tests pin the hybrid step against, and as A/B candidates
+    for future runtimes where vmapped programs are sound."""
     return jax.vmap(make_step(config, params, batched=True))
 
 

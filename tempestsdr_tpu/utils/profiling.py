@@ -39,6 +39,7 @@ def measure_dispatch_floor(repeats: int = 3) -> float:
     first compile excluded); cached per backend."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     key = jax.default_backend()
     if key in _FLOOR_CACHE:
@@ -46,12 +47,16 @@ def measure_dispatch_floor(repeats: int = 3) -> float:
     f = jax.jit(lambda x: x + 1.0)
     x = jnp.float32(0.0)
     x = f(x)
-    jax.block_until_ready(x)  # compile outside the timing
+    _ = np.asarray(x)  # compile + first round trip outside the timing
     best = float("inf")
     for _ in range(max(repeats, 1)):
         t0 = time.monotonic()
         x = f(x)
-        jax.block_until_ready(x)
+        # a HOST FETCH, not block_until_ready: the relay acknowledges
+        # readiness optimistically (CLAUDE.md), and an unfetched dispatch
+        # measured 0.07 ms where the true round trip is ~25-30 ms
+        # (bench/ROUND5_PROBE2.json floor_ms vs ROUND5_PROBE.json)
+        _ = np.asarray(x)
         best = min(best, time.monotonic() - t0)
     _FLOOR_CACHE[key] = best
     return best
