@@ -480,6 +480,15 @@ class BenchRunner:
         K, M = (4, 2) if self.quick else (192, 6)
         r = self._timed_scan(cfg, Params(), K, M)
         r["vs_ref_fps"] = round(r["frames_per_s"] / REFERENCE_FPS, 1)
+        # supplementary labeled mode: Params(fast_sync=True) runs the
+        # sweet-spot search in f32 (same detected positions on real signals;
+        # only float near-ties can differ — params.py). The headline number
+        # above stays the reference-parity f64 path. Measured +57% at this
+        # geometry (bench/ROUND5_PROBE4.json step:full-fastsync).
+        _heartbeat()
+        rf = self._timed_scan(cfg, Params(fast_sync=True), K, M)
+        r["fast_sync_MSps"] = rf["ingest_MSps"]
+        r["fast_sync_frames_per_s"] = rf["frames_per_s"]
         print(f"# config1 replay@8MS/s: {r}", file=sys.stderr)
         return r
 

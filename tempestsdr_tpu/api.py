@@ -154,6 +154,18 @@ class TSDR:
         if self._session is not None:
             self._session.set_params(new)
 
+    def set_extra_params(self, **kw) -> None:
+        """Set the TPU-native extra flags that have no reference PARAM id
+        (fast_sync, resampler, fir_lowpass_taps, debug_markers). Same live
+        semantics as set_param: a running session swaps its compiled step at
+        the next block, preserving carried state."""
+        new = self._params.replace(**kw)
+        if new == self._params:
+            return
+        self._params = new
+        if self._session is not None:
+            self._session.set_params(new)
+
     def set_parameter_double(self, param: int, value: float) -> None:
         """tsdr_setparameter_double (TSDRLibrary.c:613-620): the reference
         validates the id against COUNT_PARAM_DOUBLE (= 2) and then only

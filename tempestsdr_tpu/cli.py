@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--autoshift", action="store_true", help="auto-center via sync detection")
     p.add_argument("--no-pll", action="store_true", help="disable the frame-rate PLL")
     p.add_argument("--nearest", action="store_true", help="nearest-neighbour resampling")
+    p.add_argument("--fast-sync", action="store_true",
+                   help="f32 sync search (TPU speed mode; exact near-tie "
+                        "parity with the reference's double math needs the "
+                        "default f64)")
     p.add_argument("--no-autocorr", action="store_true", help="disable the estimator")
     p.add_argument("--auto-resolution", action="store_true",
                    help="detect (rate, height) from autocorrelation, then report")
@@ -286,6 +290,8 @@ def main(argv=None) -> int:
     rx.set_param(PARAM.FRAMERATE_PLL, int(not args.no_pll))
     rx.set_param(PARAM.NEAREST_NEIGHBOUR_RESAMPLING, int(args.nearest))
     rx.set_param(PARAM.AUTOCORR_PLOTS_OFF, int(args.no_autocorr))
+    if args.fast_sync:
+        rx.set_extra_params(fast_sync=True)
     rx.set_motionblur(args.motionblur)
     if args.auto_resolution:
         tracker = AutoResolution(rx._source.samplerate())

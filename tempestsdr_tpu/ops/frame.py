@@ -72,18 +72,22 @@ def autogain_run(frame: jnp.ndarray, lastmin, lastmax, norm: float = 0.1,
     return (None if out is None else out.astype(jnp.float32)), lastmin2, lastmax2, snr
 
 
-def collapse_v_h(frame: jnp.ndarray, precise: bool = True):
+def collapse_v_h(frame: jnp.ndarray, precise: bool = True,
+                 widen: bool = True):
     """Column and row sums of an (H, W) frame (dsp.c:96-110).
 
-    Returns (width_profile f64[W], height_profile f64[H]). The reference
+    Returns (width_profile [W], height_profile [H]). The reference
     accumulates into float buffers (dsp.c:96-110); `precise=True` accumulates
     in f64 — strictly MORE precise than the reference, kept for deterministic
     CPU parity tests — but f64 is software-emulated on TPU and this is the
     only many-megapixel f64 op in the pipeline; `precise=False` accumulates
-    in f32 (XLA tree reduction, closest to the reference's float loop) and
-    widens the ~4k-element profiles afterwards.
+    in f32 (XLA tree reduction, closest to the reference's float loop) and,
+    with `widen=True` (default), widens the ~4k-element profiles to f64 for
+    the reference's double-math sync search. widen=False keeps the f32
+    profiles for the fast_sync search path (Params.fast_sync).
     """
     dt = jnp.float64 if precise else jnp.float32
-    wprof = jnp.sum(frame, axis=0, dtype=dt).astype(jnp.float64)
-    hprof = jnp.sum(frame, axis=1, dtype=dt).astype(jnp.float64)
+    out = jnp.float64 if widen else dt
+    wprof = jnp.sum(frame, axis=0, dtype=dt).astype(out)
+    hprof = jnp.sum(frame, axis=1, dtype=dt).astype(out)
     return wprof, hprof

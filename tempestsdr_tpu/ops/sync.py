@@ -18,9 +18,10 @@ Mirrors TempestSDR/src/syncdetector.c:
     static nominal refresh rate — steps are ~1e-6 of 60 Hz, far below f32
     resolution at 60.0 but well above it at 0.0.
 
-All profile math is f64 (the reference uses double; strip-metric differences
-are tiny) — profiles are <= a few thousand elements so the emulated-f64 cost
-on TPU is negligible, once per frame.
+All profile math follows the PROFILE's dtype: f64 by default (the reference
+uses double — exact near-tie parity), f32 under Params.fast_sync (the
+search is the dominant, emulated-f64-bound emit cost on TPU, ROOFLINE.md;
+f32 changes only floating-point near-ties between candidate strips).
 """
 
 from __future__ import annotations
@@ -71,7 +72,7 @@ def _circular_window_sums(data: jnp.ndarray, stripsize) -> jnp.ndarray:
     """
     n = data.shape[0]
     csum = jnp.concatenate(
-        [jnp.zeros((1,), jnp.float64), jnp.cumsum(jnp.concatenate([data, data]))]
+        [jnp.zeros((1,), data.dtype), jnp.cumsum(jnp.concatenate([data, data]))]
     )
     hi = lax.dynamic_slice(csum, (jnp.asarray(stripsize, jnp.int32),), (n,))
     return hi - csum[:n]
@@ -84,9 +85,10 @@ def find_best_fit(data: jnp.ndarray, totalsum, stripsize):
     by-one quirk: the winning window start j maps to id max(j-1, 0).
     """
     n = data.shape[0]
-    s = jnp.asarray(stripsize, jnp.float64)
+    dt = data.dtype
+    s = jnp.asarray(stripsize, dt)
     w = _circular_window_sums(data, stripsize)
-    m = (totalsum - w) / (jnp.float64(n) - s) - w / s
+    m = (totalsum - w) / (jnp.asarray(n, dt) - s) - w / s
     m = m * m
     j = jnp.argmax(m).astype(jnp.int32)
     # max(m) == m[argmax(m)] bit-for-bit (no NaNs: m is squared finite f64)
@@ -111,18 +113,20 @@ def _candidate_sizes(state: SweetspotState, n: int, minsize: int):
 
 
 def _iir_track(state: SweetspotState, beststripsize, beststripstart, n: int,
-               lowpasscoeff: float) -> SweetspotState:
+               lowpasscoeff: float, dt=jnp.float64) -> SweetspotState:
     """IIR strip-centre tracking with wraparound + wrap-corrected velocity
-    (syncdetector.c:101-118)."""
+    (syncdetector.c:101-118). dt: float dtype of the smoothing arithmetic —
+    f64 matches the reference's double math; f32 (fast_sync) is exact for
+    the < 2^24 position magnitudes except round-half near-ties."""
     h2 = n // 2
     dxnl = (beststripstart + beststripsize // 2) % n
     rawdiff = dxnl - state.dx
     dx0 = jnp.where(rawdiff > h2, state.dx + n, state.dx)
     dxnl = jnp.where(rawdiff < -h2, dxnl + n, dxnl)
     lastx = dx0
-    c = jnp.float64(lowpasscoeff)
+    c = jnp.asarray(lowpasscoeff, dt)
     dx1 = (
-        jnp.round(dxnl.astype(jnp.float64) * c + (1.0 - c) * dx0.astype(jnp.float64))
+        jnp.round(dxnl.astype(dt) * c + (jnp.asarray(1.0, dt) - c) * dx0.astype(dt))
         .astype(jnp.int64) % n
     ).astype(jnp.int32)
     rawvx = dx1 - lastx
@@ -155,8 +159,9 @@ def find_the_sweet_spot(
     # measured ~10x slower than even 5 sequential find_best_fit calls
     # (bench/REGRESS_PROFILE.json post:frame A/B) — element gathers are TPU
     # poison. Same math as find_best_fit, kept above for oracle tests.
+    dt = data.dtype
     csum = jnp.concatenate(
-        [jnp.zeros((1,), jnp.float64), jnp.cumsum(jnp.concatenate([data, data]))]
+        [jnp.zeros((1,), dt), jnp.cumsum(jnp.concatenate([data, data]))]
     )
     lo = csum[:n]
     w = (
@@ -165,8 +170,8 @@ def find_the_sweet_spot(
         )
         - lo[None, :]
     )
-    s = safe.astype(jnp.float64)[:, None]
-    m = (totalsum - w) / (jnp.float64(n) - s) - w / s
+    s = safe.astype(dt)[:, None]
+    m = (totalsum - w) / (jnp.asarray(n, dt) - s) - w / s
     m = m * m
     j = jnp.argmax(m, axis=1).astype(jnp.int32)  # per-candidate best window
     # per-candidate best fit = row max (== m[j] bit-for-bit, gather-free)
@@ -176,7 +181,8 @@ def find_the_sweet_spot(
     beststripstart = ids[win]
     beststripsize = safe[win]
 
-    state = _iir_track(state, beststripsize, beststripstart, n, lowpasscoeff)
+    state = _iir_track(state, beststripsize, beststripstart, n, lowpasscoeff,
+                       dt=dt)
     return state, data, beststripstart
 
 

@@ -55,6 +55,16 @@ class Params:
     # syncdetector.c:209-218); off by default so frames are clean data.
     fir_lowpass_taps: int = 0  # 0 = no FIR (reference has none); >0 enables a
     # windowed-sinc anti-alias FIR before resampling.
+    fast_sync: bool = False  # False (default) = the sweet-spot sync search
+    # runs in f64 like the reference's double math (syncdetector.c:26-58) —
+    # exact near-tie parity. True = f32 profiles end-to-end through the
+    # search (collapse stays unwidened, cumsum/metric/argmax in f32): the
+    # search is the dominant, emulated-f64-bound emit cost on TPU
+    # (ROOFLINE.md round-4 update 4), so this trades exact near-tie
+    # behaviour vs the reference for narrowband speed. Detected positions
+    # on real signals (clear blanking strips) are unchanged; only
+    # floating-point near-ties between candidate strips can resolve
+    # differently.
     resampler: str = "auto"  # box-resampler implementation: "auto" (strided
     # when the geometry is near-rational, else chunked), "strided", "chunked",
     # "pallas_strided" (Mosaic kernel: DMA'd windows + dynamic lane-roll

@@ -152,6 +152,16 @@ class StepControls(NamedTuple):
         return StepControls(jnp.int64(0), jnp.int32(0), jnp.float32(0.0))
 
 
+def _collapse(config: PipelineConfig, params: Params, frame2d):
+    """Profile collapse feeding the sync search: f64 widened by default
+    (reference double-math parity); Params.fast_sync keeps f32 profiles
+    end-to-end so the whole search runs without emulated f64 (the dominant
+    narrowband emit cost on TPU — ROOFLINE.md round-4 update 4)."""
+    if params.fast_sync:
+        return collapse_v_h(frame2d, False, widen=False)
+    return collapse_v_h(frame2d, config.high_precision_sync)
+
+
 def _sync_positions(config: PipelineConfig, params: Params, sync_x, sync_y, pll, wprof, hprof):
     """Position half of syncdetector_run (syncdetector.c:171-186): sweet-spot
     detection on both collapsed profiles + the frame-rate PLL update.
@@ -233,7 +243,7 @@ def _post_process_default_order(config: PipelineConfig, params: Params, frame2d,
     _, mn, mx, snr = autogain_run(f, ag[0], ag[1], NORMALISATION_LOWPASS_COEFF,
                                   stats_only=True)
     ag = (mn, mx, snr)
-    wprof, hprof = collapse_v_h(f, config.high_precision_sync)
+    wprof, hprof = _collapse(config, params, f)
     sync_x, sync_y, pll = _sync_positions(
         config, params, sync_x, sync_y, pll, wprof, hprof
     )
@@ -257,7 +267,7 @@ def _post_process(config: PipelineConfig, params: Params, frame2d, screen, ag, s
 
     if params.lowpass_before_sync:
         screen = time_lowpass(screen, inp, motionblur)
-        wprof, hprof = collapse_v_h(screen, config.high_precision_sync)
+        wprof, hprof = _collapse(config, params, screen)
         syncres, sync_x, sync_y, pll = _sync_detect(
             config, params, screen, sync_x, sync_y, pll, wprof, hprof
         )
@@ -267,7 +277,7 @@ def _post_process(config: PipelineConfig, params: Params, frame2d, screen, ag, s
         else:
             result = syncres
     else:
-        wprof, hprof = collapse_v_h(inp, config.high_precision_sync)
+        wprof, hprof = _collapse(config, params, inp)
         syncres, sync_x, sync_y, pll = _sync_detect(
             config, params, inp, sync_x, sync_y, pll, wprof, hprof
         )

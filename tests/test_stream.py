@@ -615,3 +615,34 @@ def test_session_auto_batch_streams():
     assert isinstance(sess.batch_blocks, int) and sess.batch_blocks >= 1
     sess.run(max_blocks=8 * max(sess.batch_blocks, 1))
     assert frames and frames[-1].shape == (LINES, cfg.width)
+
+
+def test_fast_sync_matches_parity_positions():
+    """Params.fast_sync (f32 sync search — the TPU speed mode) must detect
+    the same strip positions and produce near-identical frames as the
+    default f64 search on a real signal: f32 only changes floating-point
+    near-ties between candidate strips, and a synthetic capture with real
+    blanking strips has none."""
+    cfg = PipelineConfig(samplerate=SR, height=LINES, refreshrate=REFRESH,
+                         block_samples=8192, autocorr=False)
+    blocks = [synth_iq(render_test_pattern(LINES, TWIDTH),
+                       samplerate=SR, pixelclock=LINES * TWIDTH * REFRESH,
+                       n_samples=8192, start_sample=i * 8192, noise=0.02)
+              for i in range(30)]
+    outs = {}
+    for fast in (False, True):
+        params = Params(framerate_pll=False, autoshift=True, fast_sync=fast)
+        step = jax.jit(make_step(cfg, params))
+        s = init_state(cfg)
+        frames, dxs = [], []
+        for blk in blocks:
+            s, o = step(s, jnp.asarray(blk), StepControls.default())
+            if bool(o.frame_valid):
+                frames.append(np.asarray(o.frame))
+                dxs.append((int(o.sync_dx), int(o.sync_dy)))
+        outs[fast] = (frames, dxs)
+    assert len(outs[False][0]) == len(outs[True][0]) > 0
+    # identical detected positions frame-for-frame
+    assert outs[False][1] == outs[True][1]
+    for a, b in zip(outs[False][0], outs[True][0]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
