@@ -709,6 +709,15 @@ class BenchRunner:
         # Production Session.run(batch_blocks=...) batches identically.
         K, M = (8, 2) if self.quick else (192, 8)
         r = self._timed_scan(cfg, Params(), K, M)
+        # supplementary labeled mode (see config1): the wideband frame is
+        # ~4x wider, so the f64 collapse is a megapixel-scale emulated-f64
+        # op per frame — fast_sync measured the post body at 99 vs 563
+        # us/frame and the full step +30% in-session
+        # (bench/ROUND5_PROBE5.json). Parity f64 stays the headline.
+        _heartbeat()
+        rf = self._timed_scan(cfg, Params(fast_sync=True), K, M)
+        r["fast_sync_MSps"] = rf["ingest_MSps"]
+        r["fast_sync_x_realtime"] = rf["x_realtime"]
         print(f"# config4 wideband@64MS/s: {r}", file=sys.stderr)
         return r
 

@@ -113,6 +113,7 @@ _PREF_MAP = [
     ("autoshift", "--autoshift", "autoshift"),
     ("nearest", "--nearest", "nearest"),
     ("no_pll", "--no-pll", "no_pll"),
+    ("fast_sync", "--fast-sync", "fast_sync"),
     ("no_autocorr", "--no-autocorr", "no_autocorr"),
     ("invert", "--invert", "invert"),
 ]

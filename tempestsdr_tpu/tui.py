@@ -225,6 +225,7 @@ class TuiController:
       r                        autocorr reset ("RST")
       d                        autocorr CSV dump ("DMP")
       n                        nearest-neighbour resampling toggle
+      f                        fast-sync (f32 search) speed-mode toggle
       i                        invert video (JNI converter invert flag)
       p                        PNG/PGM snapshot (Main.java:1095-1116)
       v                        cycle view: video -> frame plot -> line plot
@@ -355,6 +356,16 @@ class TuiController:
             return
         if key == "n":
             self._toggle(PARAM.NEAREST_NEIGHBOUR_RESAMPLING, "Nearest-neighbour")
+            return
+        if key == "f":
+            # TPU-native extra: f32 sync-search speed mode (Params.fast_sync)
+            cur = not bool(getattr(self.rx, "_params", None)
+                           and self.rx._params.fast_sync)
+            try:
+                rx.set_extra_params(fast_sync=cur)
+            except AttributeError:
+                return
+            self.osd(f"Fast sync (f32): {'on' if cur else 'off'}")
             return
         if key == "r":
             rx.set_param(PARAM.AUTOCORR_PLOTS_RESET, 1)
