@@ -520,6 +520,10 @@ class BenchRunner:
         # (bench/ROUND4_PROBE6.json)
         K, M = (2, 2) if self.quick else (128, 6)
         r = self._timed_scan(cfg, Params(), K, M, collect_ac=True)
+        _heartbeat()
+        rf = self._timed_scan(cfg, Params(fast_sync=True), K, M,
+                              collect_ac=True)
+        r["fast_sync_MSps"] = rf["ingest_MSps"]
 
         # time-to-detect on a real (non-noise) capture. Blocks are scanned
         # B per dispatch (per-step dispatch through the remote relay is
@@ -623,6 +627,9 @@ class BenchRunner:
 
         ctrl = SC(jnp.int64(0), jnp.int32(0), jnp.float32(mb))
         r = self._timed_scan(cfg, Params(), K, M, ctrl=ctrl)
+        _heartbeat()
+        rf = self._timed_scan(cfg, Params(fast_sync=True), K, M, ctrl=ctrl)
+        r["fast_sync_MSps"] = rf["ingest_MSps"]
 
         # SNR gain: same noisy capture, mb=0 vs mb=15/16; SNR vs the clean
         # expected frame after the averaging window settles
@@ -832,6 +839,37 @@ class BenchRunner:
             dts.append(time.monotonic() - t0)
         dt = sum(dts)
         msps = K * block * n_channels / min(dts) / 1e6
+
+        # supplementary labeled fast_sync mode (every channel's per-frame
+        # search is the hybrid step's cond-body cost); hybrid-kind only —
+        # a second full unrolled compile is not worth a fallback attempt
+        fast_msps = None
+        if kind == "hybrid":
+            _heartbeat()
+            stepf = make_channels_step_hybrid(cfg, Params(fast_sync=True),
+                                              n_channels,
+                                              demod_mode="stacked")
+
+            def bodyf(state, raw):
+                state, out = stepf(state, raw, ctrl)
+                return state, out.frame_valid
+
+            @jax.jit
+            def runf(state, raws):
+                return lax.scan(bodyf, state, raws)
+
+            statef = stack_states(cfg, n_channels)
+            statef, fv = runf(statef, raws)
+            _ = int(np.asarray(fv).sum())
+            _heartbeat()
+            fdts = []
+            for _ in range(M):
+                t0 = time.monotonic()
+                statef, fv = runf(statef, raws)
+                _ = int(np.asarray(fv).sum())
+                fdts.append(time.monotonic() - t0)
+            fast_msps = K * block * n_channels / min(fdts) / 1e6
+
         r = {
             "n_channels": n_channels,
             "step_kind": kind,
@@ -843,6 +881,9 @@ class BenchRunner:
             "frames_per_s": round(frames / dt, 1),
             "compile_s": round(compile_s, 1),
         }
+        if fast_msps is not None:
+            r["fast_sync_aggregate_MSps"] = round(fast_msps, 1)
+            r["fast_sync_per_channel_MSps"] = round(fast_msps / n_channels, 2)
         print(f"# config5 {n_channels}ch@16MS/s: {r}", file=sys.stderr)
         return r
 

@@ -59,3 +59,26 @@ def test_resolution_change_requires_stop():
     api.set_resolution(120, 60.0)
     assert api._height == 120
     api.close()
+
+
+def test_set_extra_params_live_flip():
+    """TPU-native extras (fast_sync, resampler, ...) flip live through
+    TSDR.set_extra_params with carried state surviving, like set_param."""
+    import numpy as np
+
+    import tempestsdr_tpu as tsdr
+
+    rx = tsdr.TSDR(block_samples=8192)
+    rx.load_source("synthetic", "100 200 50 1000000 0.01")
+    rx.set_resolution(100, 50.0)
+    frames = []
+
+    def on_frame(f):
+        frames.append(f)
+        if len(frames) == 4:
+            rx.set_extra_params(fast_sync=True)
+
+    rx.start(on_frame=on_frame, max_frames=10)
+    assert len(frames) == 10
+    assert rx._params.fast_sync
+    assert all(np.isfinite(f).all() for f in frames)
