@@ -46,7 +46,12 @@ import numpy as np
 REFERENCE_MSPS = 25.0  # acs-dissertation.tex:907
 REFERENCE_FPS = 40.0  # >40 fps at 25 MS/s, same source
 
-BUDGET_S = float(os.environ.get("TSDR_BENCH_BUDGET_S", 1500.0))
+BUDGET_S = float(os.environ.get("TSDR_BENCH_BUDGET_S", 2400.0))
+# 2400 s: remote compiles do NOT reliably cache across sessions (r5 runs
+# re-paid ~150-340 s per program back to back), and the round-5 record has
+# ~10 programs (5 parity + 5 fast rows). Parity headlines land first; the
+# fast pass is budget-guarded so a tight driver timeout costs only
+# supplementary rows.
 STALL_S = float(os.environ.get("TSDR_BENCH_STALL_S", 480.0))
 # STALL_S: kill a child this long without a new config result
 # (claim ~100-250 s + first compile ~40 s + run < 60 s, with margin)
@@ -58,6 +63,7 @@ MAX_SPAWNS = 4
 FALLBACK_BUDGET_S = float(os.environ.get("TSDR_BENCH_FALLBACK_BUDGET_S", 600.0))
 PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".bench_partial.json")
+_LIVE_CHILD: dict = {}  # parent's current child Popen (killed on SIGTERM)
 
 
 def _arg(flag, default=None, cast=int):
@@ -120,9 +126,11 @@ def _plan_order(only, channels):
         only = 5
     # configs 3+5 first: they are the ones the round-4 official run lost to a
     # mid-run relay death (the flagship ran first and survived; the cheap
-    # configs at the tail degraded to CPU). With the compile cache warm every
-    # config is seconds of compile, so the flagship keeps its slot well
-    # inside the budget at position 3.
+    # configs at the tail degraded to CPU). Compiles re-pay ~150-340 s per
+    # program whether or not a prior session built them (the remote helper's
+    # cache is not reliably shared), which the 2400 s default budget covers
+    # for all five parity headlines; fast rows follow in a budget-guarded
+    # second pass (child_main).
     plan = [3, 5, 4, 1, 2]
     return [n for n in plan if only is None or n == only]
 
@@ -140,7 +148,28 @@ def main():
 def parent_main():
     """Orchestrate a child per attempt; never import jax here (a wedged
     session claim in THIS process would be unkillable from within)."""
+    import signal
     import subprocess
+
+    # If an outer driver timeout SIGTERMs this parent mid-run, emit the
+    # record accumulated so far instead of dying silently with no JSON —
+    # parity headlines land early, so a truncated run still has a result.
+    # The live child is killed too: an orphaned TPU process would wedge the
+    # next session's claim (one-TPU-process rule, CLAUDE.md).
+    def _on_term(signum, frame):
+        print("# parent: SIGTERM — emitting partial record", file=sys.stderr)
+        ch = _LIVE_CHILD.get("p")
+        if ch is not None and ch.poll() is None:
+            ch.kill()
+        _emit_final(_load_partial(PARTIAL_PATH), {"partial": True,
+                                                  "sigterm": True})
+        sys.stdout.flush()
+        os._exit(0)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except (ValueError, OSError):
+        pass  # non-main thread / exotic platform: best-effort only
 
     t0 = time.monotonic()
     only = _arg("--config")
@@ -170,6 +199,7 @@ def parent_main():
                "--configs", ",".join(map(str, remaining))] + passthrough
         print(f"# parent: attempt {spawns} configs={remaining}", file=sys.stderr)
         child = subprocess.Popen(cmd)
+        _LIVE_CHILD["p"] = child
         part = _load_partial(PARTIAL_PATH)
         seen = (_done_set(part), part.get("_heartbeat"))
         last_progress = time.monotonic()
@@ -270,6 +300,7 @@ def _run_bounded_child(missing, passthrough, env, budget, *, label,
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
            "--configs", ",".join(map(str, missing))] + passthrough
     child = subprocess.Popen(cmd, env=env)
+    _LIVE_CHILD["p"] = child
     t0 = time.monotonic()
     part = _load_partial(PARTIAL_PATH)
     seen = (_done_set(part), part.get("_heartbeat"))
@@ -364,6 +395,7 @@ def child_main():
             os.remove(PARTIAL_PATH)  # don't mix with a previous run's results
         except OSError:
             pass
+    t_child0 = time.monotonic()
     for num in nums:
         try:
             _heartbeat()  # config boundary: the claim/compile ahead is alive
@@ -375,6 +407,37 @@ def child_main():
         configs = _load_partial(PARTIAL_PATH)
         configs[f"config{num}"] = res
         _flush_partial(PARTIAL_PATH, configs)
+
+    # ---- supplementary fast_sync pass (best-effort, budget-guarded) ----
+    # Runs only after EVERY requested parity headline is recorded, so a
+    # budget death here costs labeled supplementary rows, never a config.
+    # Each row is a fresh compile (~150-340 s: compiles do not reliably
+    # cache across sessions); the guard leaves the parent room to finish.
+    # Value order: flagship first. Skips are logged, never silent.
+    fast_order = [n for n in (4, 5, 3, 1, 2) if n in nums]
+    for num in fast_order:
+        configs = _load_partial(PARTIAL_PATH)
+        entry = configs.get(f"config{num}")
+        if not isinstance(entry, dict) or "error" in entry:
+            continue
+        elapsed = time.monotonic() - t_child0
+        if elapsed > 0.72 * BUDGET_S:
+            print(f"# fast row config{num} SKIPPED: {elapsed:.0f}s of "
+                  f"{BUDGET_S:.0f}s budget used", file=sys.stderr)
+            continue
+        try:
+            _heartbeat()
+            row = runner.fast_row(num, channels or 8)
+        except Exception as e:  # noqa: BLE001
+            print(f"# fast row config{num} FAILED: {e}", file=sys.stderr)
+            continue
+        configs = _load_partial(PARTIAL_PATH)
+        entry = configs.get(f"config{num}")
+        if isinstance(entry, dict):
+            entry.update(row)
+            _flush_partial(PARTIAL_PATH, configs)
+            print(f"# fast row config{num}: {row}", file=sys.stderr)
+
     if standalone:
         _emit_final(_load_partial(PARTIAL_PATH))
     return 0
@@ -383,6 +446,92 @@ def child_main():
 class BenchRunner:
     def __init__(self, quick: bool):
         self.quick = quick
+
+    # ---- supplementary fast_sync rows (run AFTER all parity headlines) ----
+
+    def fast_row(self, num: int, channels: int = 8):
+        """Labeled Params(fast_sync=True) re-measurement of one config's
+        throughput (f32 sweet-spot search — params.py; measured +31-70%
+        over the parity headlines, bench/ROUND5_PROBE4/5.json). Returns the
+        keys to merge into the config's recorded dict."""
+        from tempestsdr_tpu.config import PipelineConfig
+        from tempestsdr_tpu.params import Params
+
+        fast = Params(fast_sync=True)
+        if num == 1:
+            cfg = PipelineConfig(samplerate=8e6, height=628, refreshrate=60.0,
+                                 block_samples=450560)
+            K, M = (4, 2) if self.quick else (192, 6)
+            r = self._timed_scan(cfg, fast, K, M)
+            return {"fast_sync_MSps": r["ingest_MSps"],
+                    "fast_sync_frames_per_s": r["frames_per_s"]}
+        if num in (2, 3):
+            cfg = PipelineConfig(samplerate=16e6, height=628, refreshrate=60.0,
+                                 block_samples=786432,
+                                 autocorr=(num == 2))
+            K, M = (2, 2) if self.quick else (128, 6)
+            ctrl = None
+            if num == 3:
+                import jax.numpy as jnp
+
+                from tempestsdr_tpu.stream.pipeline import StepControls as SC
+
+                ctrl = SC(jnp.int64(0), jnp.int32(0), jnp.float32(15.0 / 16.0))
+            r = self._timed_scan(cfg, fast, K, M, ctrl=ctrl)
+            return {"fast_sync_MSps": r["ingest_MSps"]}
+        if num == 4:
+            cfg = PipelineConfig(samplerate=64e6, height=628, refreshrate=60.0,
+                                 block_samples=786432)
+            K, M = (8, 2) if self.quick else (192, 8)
+            r = self._timed_scan(cfg, fast, K, M)
+            return {"fast_sync_MSps": r["ingest_MSps"],
+                    "fast_sync_x_realtime": r["x_realtime"]}
+        if num == 5:
+            import jax
+            import jax.numpy as jnp
+            from jax import lax
+
+            from tempestsdr_tpu.parallel.channels import stack_states
+            from tempestsdr_tpu.stream.pipeline import (
+                StepControls,
+                make_channels_step_hybrid,
+            )
+
+            block = 786432
+            K, M = (2, 2) if self.quick else (48, 4)
+            cfg = PipelineConfig(samplerate=16e6, height=628, refreshrate=60.0,
+                                 block_samples=block)
+            stepf = make_channels_step_hybrid(cfg, fast, channels,
+                                              demod_mode="stacked")
+            ctrl = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (channels,) + x.shape),
+                StepControls.default())
+
+            def body(state, raw):
+                state, out = stepf(state, raw, ctrl)
+                return state, out.frame_valid
+
+            @jax.jit
+            def run(state, raws):
+                return lax.scan(body, state, raws)
+
+            rng = np.random.default_rng(0)
+            raws = jnp.asarray(rng.integers(
+                0, 256, size=(K, channels, 2 * block), dtype=np.uint8))
+            state = stack_states(cfg, channels)
+            state, fv = run(state, raws)
+            _ = int(np.asarray(fv).sum())
+            _heartbeat()
+            dts = []
+            for _ in range(M):
+                t0 = time.monotonic()
+                state, fv = run(state, raws)
+                _ = int(np.asarray(fv).sum())
+                dts.append(time.monotonic() - t0)
+            msps = K * block * channels / min(dts) / 1e6
+            return {"fast_sync_aggregate_MSps": round(msps, 1),
+                    "fast_sync_per_channel_MSps": round(msps / channels, 2)}
+        return {}
 
     # ---- shared scan-timing core ----
 
@@ -480,15 +629,6 @@ class BenchRunner:
         K, M = (4, 2) if self.quick else (192, 6)
         r = self._timed_scan(cfg, Params(), K, M)
         r["vs_ref_fps"] = round(r["frames_per_s"] / REFERENCE_FPS, 1)
-        # supplementary labeled mode: Params(fast_sync=True) runs the
-        # sweet-spot search in f32 (same detected positions on real signals;
-        # only float near-ties can differ — params.py). The headline number
-        # above stays the reference-parity f64 path. Measured +57% at this
-        # geometry (bench/ROUND5_PROBE4.json step:full-fastsync).
-        _heartbeat()
-        rf = self._timed_scan(cfg, Params(fast_sync=True), K, M)
-        r["fast_sync_MSps"] = rf["ingest_MSps"]
-        r["fast_sync_frames_per_s"] = rf["frames_per_s"]
         print(f"# config1 replay@8MS/s: {r}", file=sys.stderr)
         return r
 
@@ -520,10 +660,6 @@ class BenchRunner:
         # (bench/ROUND4_PROBE6.json)
         K, M = (2, 2) if self.quick else (128, 6)
         r = self._timed_scan(cfg, Params(), K, M, collect_ac=True)
-        _heartbeat()
-        rf = self._timed_scan(cfg, Params(fast_sync=True), K, M,
-                              collect_ac=True)
-        r["fast_sync_MSps"] = rf["ingest_MSps"]
 
         # time-to-detect on a real (non-noise) capture. Blocks are scanned
         # B per dispatch (per-step dispatch through the remote relay is
@@ -627,9 +763,6 @@ class BenchRunner:
 
         ctrl = SC(jnp.int64(0), jnp.int32(0), jnp.float32(mb))
         r = self._timed_scan(cfg, Params(), K, M, ctrl=ctrl)
-        _heartbeat()
-        rf = self._timed_scan(cfg, Params(fast_sync=True), K, M, ctrl=ctrl)
-        r["fast_sync_MSps"] = rf["ingest_MSps"]
 
         # SNR gain: same noisy capture, mb=0 vs mb=15/16; SNR vs the clean
         # expected frame after the averaging window settles
@@ -716,15 +849,6 @@ class BenchRunner:
         # Production Session.run(batch_blocks=...) batches identically.
         K, M = (8, 2) if self.quick else (192, 8)
         r = self._timed_scan(cfg, Params(), K, M)
-        # supplementary labeled mode (see config1): the wideband frame is
-        # ~4x wider, so the f64 collapse is a megapixel-scale emulated-f64
-        # op per frame — fast_sync measured the post body at 99 vs 563
-        # us/frame and the full step +30% in-session
-        # (bench/ROUND5_PROBE5.json). Parity f64 stays the headline.
-        _heartbeat()
-        rf = self._timed_scan(cfg, Params(fast_sync=True), K, M)
-        r["fast_sync_MSps"] = rf["ingest_MSps"]
-        r["fast_sync_x_realtime"] = rf["x_realtime"]
         print(f"# config4 wideband@64MS/s: {r}", file=sys.stderr)
         return r
 
@@ -839,37 +963,6 @@ class BenchRunner:
             dts.append(time.monotonic() - t0)
         dt = sum(dts)
         msps = K * block * n_channels / min(dts) / 1e6
-
-        # supplementary labeled fast_sync mode (every channel's per-frame
-        # search is the hybrid step's cond-body cost); hybrid-kind only —
-        # a second full unrolled compile is not worth a fallback attempt
-        fast_msps = None
-        if kind == "hybrid":
-            _heartbeat()
-            stepf = make_channels_step_hybrid(cfg, Params(fast_sync=True),
-                                              n_channels,
-                                              demod_mode="stacked")
-
-            def bodyf(state, raw):
-                state, out = stepf(state, raw, ctrl)
-                return state, out.frame_valid
-
-            @jax.jit
-            def runf(state, raws):
-                return lax.scan(bodyf, state, raws)
-
-            statef = stack_states(cfg, n_channels)
-            statef, fv = runf(statef, raws)
-            _ = int(np.asarray(fv).sum())
-            _heartbeat()
-            fdts = []
-            for _ in range(M):
-                t0 = time.monotonic()
-                statef, fv = runf(statef, raws)
-                _ = int(np.asarray(fv).sum())
-                fdts.append(time.monotonic() - t0)
-            fast_msps = K * block * n_channels / min(fdts) / 1e6
-
         r = {
             "n_channels": n_channels,
             "step_kind": kind,
@@ -881,9 +974,6 @@ class BenchRunner:
             "frames_per_s": round(frames / dt, 1),
             "compile_s": round(compile_s, 1),
         }
-        if fast_msps is not None:
-            r["fast_sync_aggregate_MSps"] = round(fast_msps, 1)
-            r["fast_sync_per_channel_MSps"] = round(fast_msps / n_channels, 2)
         print(f"# config5 {n_channels}ch@16MS/s: {r}", file=sys.stderr)
         return r
 
