@@ -415,13 +415,17 @@ def child_main():
     # cache across sessions); the guard leaves the parent room to finish.
     # Value order: flagship first. Skips are logged, never silent.
     fast_order = [n for n in (4, 5, 3, 1, 2) if n in nums]
+    # measured per-row cost (fresh compile + dispatches): hybrid ~400 s,
+    # single-channel ~220 s. A row starts only if it can finish before the
+    # parent's budget+60 kill, with margin for the final emit.
+    fast_cost = {5: 400.0}
     for num in fast_order:
         configs = _load_partial(PARTIAL_PATH)
         entry = configs.get(f"config{num}")
         if not isinstance(entry, dict) or "error" in entry:
             continue
         elapsed = time.monotonic() - t_child0
-        if elapsed > 0.72 * BUDGET_S:
+        if elapsed + fast_cost.get(num, 220.0) > BUDGET_S - 60.0:
             print(f"# fast row config{num} SKIPPED: {elapsed:.0f}s of "
                   f"{BUDGET_S:.0f}s budget used", file=sys.stderr)
             continue
