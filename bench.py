@@ -415,10 +415,11 @@ def child_main():
     # cache across sessions); the guard leaves the parent room to finish.
     # Value order: flagship first. Skips are logged, never silent.
     fast_order = [n for n in (4, 5, 3, 1, 2) if n in nums]
-    # measured per-row cost (fresh compile + dispatches): hybrid ~400 s,
-    # single-channel ~220 s. A row starts only if it can finish before the
+    # measured per-row cost (fresh compile + dispatches): hybrid ~400 s at
+    # 8 channels scaling ~linearly in C (C=32 compiled 1672 s), single-
+    # channel ~220 s. A row starts only if it can finish before the
     # parent's budget+60 kill, with margin for the final emit.
-    fast_cost = {5: 400.0}
+    fast_cost = {5: 400.0 * max(channels or 8, 8) / 8.0}
     for num in fast_order:
         configs = _load_partial(PARTIAL_PATH)
         entry = configs.get(f"config{num}")
